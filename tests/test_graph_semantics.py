@@ -1,0 +1,132 @@
+"""Unit tests pinning the reference's graph semantics on tiny fixtures
+(mirrors the reference's inline test modules — SURVEY.md §5):
+
+* duplicate node id -> LAST wins (knowledge_graph.rs:1000-1047)
+* dangling edge target -> placeholder node, EntityType::Function
+  (knowledge_graph.rs:1049-1090, :380-395)
+* edge with missing SOURCE is dropped (knowledge_graph.rs:375)
+* deterministic edge id "{subj}->{obj}::{pred}" and first-wins dedupe
+  (relationship.rs:89-105, :128-156)
+* parse stage preserves span order and is a pure function of the span
+  array (BASELINE.json per-row invariant)
+* fast-path parser == pandas-UDF parser on the synthetic corpus
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ummon_spark.corpus import synthesize
+from ummon_spark.operators.parse import explode_spans, parse_mentions, parse_mentions_pandas
+from ummon_spark.pipeline import build_graph
+from ummon_spark.schemas import DOCUMENTS
+
+
+def make_docs(spark, rows):
+    return spark.createDataFrame(rows, schema=DOCUMENTS)
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    # doc A defines f twice (params differ) and calls g.h plus a bare call;
+    # doc B defines class C(Sup) and a function C (so inherits survives),
+    # imports lib.x, and shows an image.
+    rows = [
+        (
+            "A",
+            [
+                ("def", "f(x)", "", 0),
+                ("def", "f(y)", "", 5),
+                ("def", "h(q)", "", 8),
+                ("call", "g.h", "", 10),
+                ("call", "bare", "", 14),
+            ],
+        ),
+        (
+            "B",
+            [
+                ("class", "C(Sup)", "", 0),
+                ("def", "C()", "", 7),
+                ("import", "lib.x", "", 12),
+                ("image", "", "img_zed", 18),
+            ],
+        ),
+    ]
+    g = build_graph(make_docs(spark, rows), persist=False)
+    return g
+
+
+def test_last_wins_dedupe(tiny_graph):
+    nodes = {r["id"]: r for r in tiny_graph.nodes.collect()}
+    # A::f defined twice -> one node, detail from the LAST definition
+    assert nodes["A::f"]["detail"] == "y"
+
+
+def test_placeholder_function_type(tiny_graph):
+    nodes = {r["id"]: r for r in tiny_graph.nodes.collect()}
+    # calls edge target g.h doesn't exist -> placeholder typed Function
+    assert nodes["g.h"]["entity_type"] == "Function"
+    assert nodes["Sup"]["entity_type"] == "Function"
+    # real nodes preserved
+    assert nodes["type::B::C"]["entity_type"] == "Class"
+    assert nodes["media::img_zed"]["entity_type"] == "Media"
+
+
+def test_source_exists_check(tiny_graph):
+    edges = {(r["subj"], r["pred"], r["obj"]) for r in tiny_graph.edges.collect()}
+    # A defines h, call g.h -> source A::h exists -> calls edge kept
+    assert ("A::h", "calls", "g.h") in edges
+    # inherits from class C survives only because function B::C exists
+    assert ("B::C", "inherits", "Sup") in edges
+    # bare call -> references edge from the module
+    assert ("A", "references", "bare") in edges
+    assert ("B", "depicts", "media::img_zed") in edges
+    assert ("B", "imports", "lib.x") in edges
+
+
+def test_source_missing_dropped(spark):
+    rows = [("D", [("call", "q.z", "", 0)])]  # no def z in D
+    g = build_graph(make_docs(spark, rows), persist=False)
+    edges = [(r["pred"]) for r in g.edges.collect()]
+    assert "calls" not in edges
+
+
+def test_edge_id_deterministic_and_first_wins(tiny_graph):
+    ids = [r["id"] for r in tiny_graph.edges.collect()]
+    assert "A::h->g.h::calls" in ids
+    assert len(ids) == len(set(ids))  # dedupe by id
+
+
+def test_span_order_preserved(spark):
+    docs = synthesize(spark, 50, seed=7)
+    flat = explode_spans(docs).collect()
+    by_doc = {}
+    for r in flat:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    orig = {d: s for d, s in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["span_idx"])
+        got = [(r["kind"], r["text"], r["media_ref"], r["offset"]) for r in rows]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in orig[doc_id]]
+        assert got == want
+
+
+def test_parser_parity_fast_vs_pandas(spark):
+    docs = synthesize(spark, 100, seed=11)
+    fast = sorted(tuple(r) for r in parse_mentions(docs).collect())
+    ref = sorted(tuple(r) for r in parse_mentions_pandas(docs).collect())
+    assert fast == ref
+
+
+def test_empty_and_weird_content(spark):
+    rows = [
+        ("E1", []),
+        ("E2", [("text", "just filler", "", 0)]),
+        ("E3", [("def", "", "", 0)]),
+    ]
+    g = build_graph(make_docs(spark, rows), persist=False)
+    # never throws; every doc gets a Module node even with no mentions
+    types = {(r["doc_id"], r["entity_type"]) for r in g.nodes.collect()}
+    assert ("E1", "Module") in types
+    assert ("E2", "Module") in types

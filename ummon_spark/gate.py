@@ -1,0 +1,167 @@
+"""Correctness-gate query registry: Spark callable + DuckDB oracle pairs.
+
+Consumed by __spark_entry__.py. Every operator claimed in SURVEY.md §2
+registers here as (queries()[name], oracle_sql()[name]); the driver
+compares row-count + schema + order-insensitive value hash at sf0.01.
+Column names/types are aligned on both sides (bigint counts, explicit
+aliases).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle
+from .corpus import load_spans
+from .operators.parse import explode_spans, parse_mentions
+from .operators.traversal import (
+    entity_neighborhood,
+    transitive_depends,
+    who_calls,
+)
+from .pipeline import build_graph, flat_edges, flat_nodes
+
+TRANS_PREDS = ("defines", "calls", "imports")
+NEIGHBOR_MODULE = "7"  # a Module node present at every sf
+NEIGHBOR_MEDIA = "media::img_the"  # hub media entity (zipf head token)
+
+
+# --- Spark side ------------------------------------------------------------
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    return build_graph(load_spans(spark, sf_dir), persist=True)
+
+
+def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_spans(load_spans(spark, sf_dir))
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_mentions(load_spans(spark, sf_dir))
+
+
+def q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flat_nodes(_graph(spark, sf_dir))
+
+
+def q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flat_edges(_graph(spark, sf_dir))
+
+
+def q_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _graph(spark, sf_dir)
+        .edges.groupBy("pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_who_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return who_calls(_graph(spark, sf_dir).edges)
+
+
+def q_transitive_depends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return transitive_depends(g.nodes, g.edges, "Module", TRANS_PREDS)
+
+
+def q_neighborhood_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_neighborhood(_graph(spark, sf_dir).edges, NEIGHBOR_MODULE)
+
+
+def q_neighborhood_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entity_neighborhood(_graph(spark, sf_dir).edges, NEIGHBOR_MEDIA)
+
+
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.traversal import degree
+
+    return degree(_graph(spark, sf_dir).edges)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_spans": q_spans,
+    "kg_mentions": q_mentions,
+    "kg_nodes": q_nodes,
+    "kg_edges": q_edges,
+    "kg_edge_stats": q_edge_stats,
+    "kg_who_calls": q_who_calls,
+    "kg_transitive_depends": q_transitive_depends,
+    "kg_neighborhood_module": q_neighborhood_module,
+    "kg_neighborhood_media": q_neighborhood_media,
+    "kg_degree": q_degree,
+}
+
+
+# --- DuckDB oracle side ----------------------------------------------------
+
+_PREDS_SQL = ", ".join(f"'{p}'" for p in TRANS_PREDS)
+
+ORACLES: dict[str, str] = {
+    "kg_spans": oracle.q(
+        oracle.SPANS_CTES,
+        'SELECT doc_id, span_idx, kind, text, media_ref, "offset" FROM spans',
+    ),
+    "kg_mentions": oracle.q(
+        oracle.MENTIONS_CTES,
+        'SELECT doc_id, span_idx, mention_type, name, detail, media_ref, "offset" '
+        "FROM mentions",
+    ),
+    "kg_nodes": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes",
+    ),
+    "kg_edges": oracle.q(oracle.GRAPH_CTES, "SELECT id, subj, pred, obj FROM edges"),
+    "kg_edge_stats": oracle.q(
+        oracle.GRAPH_CTES, "SELECT pred, count(*) AS n FROM edges GROUP BY pred"
+    ),
+    "kg_who_calls": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT subj AS caller_id, split_part(subj, '::', 2) AS caller_name, "
+        "obj AS callee_fqn, split_part(obj, '.', 2) AS callee_name "
+        "FROM edges WHERE pred = 'calls'",
+    ),
+    "kg_transitive_depends": "WITH RECURSIVE "
+    + oracle.GRAPH_CTES.lstrip()
+    + f""",
+walk(root, dst, depth) AS (
+  SELECT subj, obj, CAST(1 AS BIGINT) FROM edges
+   WHERE pred IN ({_PREDS_SQL})
+     AND subj IN (SELECT id FROM all_nodes WHERE entity_type = 'Module')
+  UNION
+  SELECT w.root, e.obj, w.depth + 1 FROM walk w
+    JOIN edges e ON e.subj = w.dst AND e.pred IN ({_PREDS_SQL})
+  WHERE w.depth < 10
+)
+SELECT root, dst, MIN(depth) AS depth FROM walk GROUP BY root, dst""",
+    "kg_neighborhood_module": oracle.q(
+        oracle.GRAPH_CTES,
+        f"""SELECT 'out' AS direction, pred, obj AS other FROM edges
+  WHERE subj = '{NEIGHBOR_MODULE}'
+UNION ALL
+SELECT 'in' AS direction, pred, subj AS other FROM edges
+  WHERE obj = '{NEIGHBOR_MODULE}'""",
+    ),
+    "kg_neighborhood_media": oracle.q(
+        oracle.GRAPH_CTES,
+        f"""SELECT 'out' AS direction, pred, obj AS other FROM edges
+  WHERE subj = '{NEIGHBOR_MEDIA}'
+UNION ALL
+SELECT 'in' AS direction, pred, subj AS other FROM edges
+  WHERE obj = '{NEIGHBOR_MEDIA}'""",
+    ),
+    "kg_degree": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT COALESCE(o.id, i.id) AS id,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS degree
+FROM (SELECT subj AS id, count(*) AS out_degree FROM edges GROUP BY subj) o
+FULL OUTER JOIN (SELECT obj AS id, count(*) AS in_degree FROM edges GROUP BY obj) i
+  ON o.id = i.id""",
+    ),
+}

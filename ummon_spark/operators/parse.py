@@ -1,0 +1,170 @@
+"""Parse stage: interleaved spans -> typed entity mentions.
+
+The Spark-first replacement for the reference's tree-sitter walk
+(reference src/parser/language_support/mod.rs:196-379 LanguageParser;
+python.rs:637-729 parse_functions, :566-624 parse_types, :731-807
+parse_calls; java.rs:652-788 parse_modules). The input rows already
+carry the span sequence, so "parsing" is a pure, order-preserving
+function of the spans array (the per-row invariant: span-sequence
+equality of (kind, text, media_ref, order)).
+
+Two implementations with identical semantics:
+
+* ``parse_mentions`` — built-in column expressions after ``posexplode``.
+  Stays entirely inside whole-stage codegen (no Python), the fast path.
+* ``parse_mentions_pandas`` — Arrow-vectorized ``mapInPandas``
+  (pandas str ops, no per-row Python), the driver-contract reference
+  implementation; property-tested equal to the fast path.
+
+Mention dialect (FIXTURES.md §1):
+  def    "name(params)"        -> Function(name, detail=params)
+  class  "Name(Super)"         -> Class(name, detail=supertype or '')
+  call   "callee"|"qual.callee"-> CallSite(last-segment name,
+                                  detail=fqn iff dotted — the reference
+                                  sets FQN only when the call text
+                                  contains '.' (python.rs:787-791))
+  import "module.path"         -> Import(name=path)
+  image/audio/video            -> Media(name=media_ref)
+  doc    free text             -> Doc(detail=text) (documentation
+                                  attachment, java.rs:790-856)
+  text   free text             -> no mention (unsupported-content skip,
+                                  mod.rs:71-76)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import MENTIONS
+
+_MEDIA = ("image", "audio", "video")
+
+
+def explode_spans(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans[]) -> one row per span, order preserved via span_idx.
+
+    Narrow transformation — no shuffle; parallelism = input partitions.
+    """
+    return spans_df.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").cast("long").alias("offset"),
+    )
+
+
+def parse_mentions(spans_df: DataFrame) -> DataFrame:
+    """Fast path: spans -> mentions via JVM-side expressions only."""
+    s = explode_spans(spans_df)
+    k = F.col("kind")
+    text = F.col("text")
+    is_media = k.isin(*_MEDIA)
+    dotted = text.contains(".")
+
+    mention_type = (
+        F.when(k == "def", "Function")
+        .when(k == "class", "Class")
+        .when(k == "call", "CallSite")
+        .when(k == "import", "Import")
+        .when(is_media, "Media")
+        .when(k == "doc", "Doc")
+    )
+    name = (
+        F.when(k.isin("def", "class"), F.substring_index(text, "(", 1))
+        .when(k == "call", F.substring_index(text, ".", -1))
+        .when(k == "import", text)
+        .when(is_media, F.col("media_ref"))
+        .otherwise(F.lit(""))
+    )
+    detail = (
+        F.when(
+            k.isin("def", "class"),
+            F.regexp_extract(text, r"\(([^)]*)\)", 1),
+        )
+        .when(k == "call", F.when(dotted, text).otherwise(F.lit("")))
+        .when(is_media, F.col("media_ref"))
+        .when(k == "doc", text)
+        .otherwise(F.lit(""))
+    )
+    return (
+        s.withColumn("mention_type", mention_type)
+        .filter(F.col("mention_type").isNotNull())
+        .select(
+            "doc_id",
+            "span_idx",
+            "mention_type",
+            name.alias("name"),
+            detail.alias("detail"),
+            "media_ref",
+            "offset",
+        )
+    )
+
+
+def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized pandas parse of one exploded-span Arrow batch."""
+    k = pdf["kind"]
+    text = pdf["text"].fillna("")
+    media = pdf["media_ref"].fillna("")
+    is_media = k.isin(_MEDIA)
+    keep = k.isin(("def", "class", "call", "import", "doc")) | is_media
+    pdf = pdf[keep].copy()
+    if pdf.empty:
+        return pd.DataFrame(columns=[f.name for f in MENTIONS.fields])
+    k = pdf["kind"]
+    text = pdf["text"].fillna("")
+    media = pdf["media_ref"].fillna("")
+    is_media = k.isin(_MEDIA)
+    dotted = text.str.contains(".", regex=False)
+
+    mention_type = k.map(
+        {"def": "Function", "class": "Class", "call": "CallSite", "import": "Import", "doc": "Doc"}
+    )
+    mention_type = mention_type.where(~is_media, "Media")
+
+    before_paren = text.str.split("(", n=1).str[0]
+    in_paren = text.str.extract(r"\(([^)]*)\)", expand=False).fillna("")
+    last_seg = text.str.rsplit(".", n=1).str[-1]
+
+    name = pd.Series("", index=pdf.index, dtype=object)
+    name = name.mask(k.isin(("def", "class")), before_paren)
+    name = name.mask(k == "call", last_seg)
+    name = name.mask(k == "import", text)
+    name = name.mask(is_media, media)
+
+    detail = pd.Series("", index=pdf.index, dtype=object)
+    detail = detail.mask(k.isin(("def", "class")), in_paren)
+    detail = detail.mask((k == "call") & dotted, text)
+    detail = detail.mask(is_media, media)
+    detail = detail.mask(k == "doc", text)
+
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "span_idx": pdf["span_idx"],
+            "mention_type": mention_type,
+            "name": name,
+            "detail": detail,
+            "media_ref": media,
+            "offset": pdf["offset"],
+        }
+    )
+
+
+def parse_mentions_pandas(spans_df: DataFrame) -> DataFrame:
+    """Reference path: Arrow-batched vectorized parse via mapInPandas."""
+    s = explode_spans(spans_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _parse_batch(pdf)
+
+    return s.mapInPandas(run, schema=MENTIONS)

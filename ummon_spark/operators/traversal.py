@@ -1,0 +1,119 @@
+"""Graph traversal: BFS closure + the driver's downstream graph queries.
+
+Spark-first replacement for the reference's recursive-CTE traversal
+(src/db.rs:791-895 `WITH RECURSIVE traverse`, depth cap 10 at
+src/query/db_executor.rs:85): an iterative frontier join with
+visited-set dedupe and `localCheckpoint` per round to cut lineage —
+the standard distributed BFS; each round is one shuffle join on the
+frontier (small) against the edges table (partitioned by pred, so the
+predicate filter prunes partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 10  # reference cap, db_executor.rs:85
+
+
+def transitive_closure(
+    edges: DataFrame,
+    roots: DataFrame,
+    preds: tuple[str, ...] | None = None,
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """All (root, dst, depth) reachable from `roots` (col `id`) in
+    <= max_depth hops following `preds` edges. depth = min hop count
+    (BFS level order; `UNION`-dedup semantics of the reference CTE,
+    db.rs:850-866).
+    """
+    e = edges
+    if preds:
+        e = e.filter(F.col("pred").isin(*preds))
+    e = e.select("subj", "obj")
+
+    frontier = (
+        roots.select(F.col("id").alias("root"))
+        .join(e, F.col("root") == e.subj)
+        .select("root", F.col("obj").alias("dst"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+    )
+    reach = frontier.localCheckpoint(eager=True)
+    frontier = reach
+    depth = 1
+    while depth < max_depth:
+        nxt = (
+            frontier.join(e, frontier.dst == e.subj)
+            .select("root", F.col("obj").alias("dst"))
+            .distinct()
+            .withColumn("depth", F.lit(depth + 1).cast("long"))
+        )
+        new = nxt.join(reach.select("root", "dst"), ["root", "dst"], "left_anti")
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        reach = reach.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        depth += 1
+    return reach
+
+
+def who_calls(edges: DataFrame, callee_pattern: str | None = None) -> DataFrame:
+    """Callers of functions matching `callee_pattern` (SQL LIKE), the
+    reference README's flagship query ("functions calling functions
+    where name like ...", README.md:84). Partition-pruned scan of
+    pred='calls' + projection — no join needed because the edge id
+    embeds both endpoints.
+    """
+    out = edges.filter(F.col("pred") == "calls").select(
+        F.col("subj").alias("caller_id"),
+        F.substring_index("subj", "::", -1).alias("caller_name"),
+        F.col("obj").alias("callee_fqn"),
+        F.substring_index("obj", ".", -1).alias("callee_name"),
+    )
+    if callee_pattern is not None:
+        out = out.filter(F.col("callee_name").like(callee_pattern))
+    return out
+
+
+def transitive_depends(
+    nodes: DataFrame,
+    edges: DataFrame,
+    root_type: str = "Module",
+    preds: tuple[str, ...] = ("defines", "calls", "imports"),
+    max_depth: int = MAX_DEPTH,
+) -> DataFrame:
+    """Transitive dependency closure from every node of `root_type`."""
+    roots = nodes.filter(F.col("entity_type") == root_type).select("id")
+    return transitive_closure(edges, roots, preds, max_depth)
+
+
+def entity_neighborhood(edges: DataFrame, entity_id: str) -> DataFrame:
+    """1-hop neighborhood, both directions (tree formatter analog,
+    formatter.rs:174-219; direction rules db_executor.rs:64-78)."""
+    out = edges.filter(F.col("subj") == entity_id).select(
+        F.lit("out").alias("direction"), "pred", F.col("obj").alias("other")
+    )
+    inc = edges.filter(F.col("obj") == entity_id).select(
+        F.lit("in").alias("direction"), "pred", F.col("subj").alias("other")
+    )
+    return out.unionByName(inc)
+
+
+def degree(edges: DataFrame) -> DataFrame:
+    """Per-node in/out/total degree — hub detection for skew salting."""
+    outd = edges.groupBy(F.col("subj").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = edges.groupBy(F.col("obj").alias("id")).agg(F.count("*").alias("in_degree"))
+    return (
+        outd.join(ind, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )

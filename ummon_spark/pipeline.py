@@ -1,0 +1,79 @@
+"""End-to-end pipeline orchestration: spans -> mentions -> nodes+edges.
+
+Mirrors the reference's index lifecycle (SURVEY.md §3.1): Pass 1
+entities, Pass 2 relationships, placeholder synthesis, dedupe — as one
+declarative DataFrame DAG. ``persist=True`` caches the shared
+intermediates (mentions, pre-placeholder nodes) that the DAG reads more
+than once, the Spark analog of the reference's single-transaction batch
+(db.rs:897-1037).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.edges import build_edges
+from .operators.nodes import build_nodes, synthesize_placeholders
+from .operators.parse import parse_mentions, parse_mentions_pandas
+
+
+@dataclass
+class Graph:
+    nodes: DataFrame  # includes placeholder nodes
+    edges: DataFrame
+    mentions: DataFrame
+
+    def unpersist(self) -> None:
+        for df in (self.nodes, self.edges, self.mentions):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_graph(
+    spans_df: DataFrame,
+    use_pandas_parser: bool = False,
+    persist: bool = True,
+) -> Graph:
+    parse = parse_mentions_pandas if use_pandas_parser else parse_mentions
+    mentions = parse(spans_df)
+    if persist:
+        mentions = mentions.persist()
+    base_nodes = build_nodes(mentions, spans_df)
+    if persist:
+        base_nodes = base_nodes.persist()
+    edges = build_edges(mentions, base_nodes)
+    if persist:
+        edges = edges.persist()
+    placeholders = synthesize_placeholders(edges, base_nodes)
+    nodes = base_nodes.unionByName(placeholders)
+    return Graph(nodes=nodes, edges=edges, mentions=mentions)
+
+
+def flat_nodes(g: Graph) -> DataFrame:
+    """Flat projection used by fixtures/oracle comparisons."""
+    return g.nodes.select("id", "name", "entity_type", "doc_id", "containing_entity")
+
+
+def flat_edges(g: Graph) -> DataFrame:
+    return g.edges.select("id", "subj", "pred", "obj")
+
+
+def materialize(g: Graph, out_dir: str, mode: str = "overwrite") -> None:
+    """Write the graph as partitioned tables.
+
+    Partitioning mirrors the reference's secondary indexes (db.rs:118-128):
+    nodes by entity_type, edges by pred — so `pred = 'calls'`-style
+    queries become partition-pruned scans. (Iceberg writer when the
+    runtime is available; parquet layout is identical otherwise.)
+    """
+    g.nodes.repartition(F.col("entity_type")).write.mode(mode).partitionBy(
+        "entity_type"
+    ).parquet(f"{out_dir}/nodes")
+    g.edges.repartition(F.col("pred")).write.mode(mode).partitionBy("pred").parquet(
+        f"{out_dir}/edges"
+    )
