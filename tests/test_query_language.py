@@ -1,0 +1,213 @@
+"""UQL parser + executor + formatter tests, mirroring the reference's
+inline tests (parser.rs:415-555, db_executor.rs:255-384,
+formatter.rs:336-586) including the auth_login/validate_token fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from ummon_spark.query.parser import (
+    And,
+    Condition,
+    HasAttribute,
+    Not,
+    Or,
+    QueryParseError,
+    SelectQuery,
+    TraversalQuery,
+    parse_query,
+)
+from ummon_spark.query.executor import execute_query
+from ummon_spark.query.formatter import (
+    apply_text_limit,
+    format_csv,
+    format_rows,
+    format_text,
+)
+
+
+# --- parser ----------------------------------------------------------------
+
+
+def test_parse_select_simple():
+    q = parse_query("select functions")
+    assert isinstance(q, SelectQuery)
+    assert q.entity_type == "Function"
+    assert q.condition is None
+
+
+def test_parse_select_condition():
+    q = parse_query("select functions where name = 'main'")
+    c = q.condition
+    assert isinstance(c, Condition)
+    assert (c.attribute, c.operator, c.value) == ("name", "=", "main")
+
+
+def test_parse_traversal():
+    q = parse_query("functions calling functions")
+    assert isinstance(q, TraversalQuery)
+    assert q.source_type == "Function"
+    assert q.relationship == "calls"
+    assert q.target_type == "Function"
+
+
+def test_parse_gerund_and_plain_forms():
+    assert parse_query("classes inheriting classes").relationship == "inherits"
+    assert parse_query("modules imports modules").relationship == "imports"
+    assert parse_query("functions depending functions").relationship == "depends_on"
+
+
+def test_parse_logical_ops():
+    q = parse_query("select functions where name = 'a' and file_path like '%x%'")
+    assert isinstance(q.condition, And)
+    q = parse_query("select functions where name = 'a' or name = 'b'")
+    assert isinstance(q.condition, Or)
+
+
+def test_parse_not_discards_left():
+    # faithful quirk: infix "not" drops the left operand (parser.rs:308)
+    q = parse_query("select functions where name = 'a' not name = 'b'")
+    assert isinstance(q.condition, Not)
+    assert q.condition.inner.value == "b"
+
+
+def test_parse_has():
+    q = parse_query("select functions where has documentation")
+    assert isinstance(q.condition, HasAttribute)
+    assert q.condition.attribute == "documentation"
+
+
+def test_parse_number_value():
+    q = parse_query("select domain_concepts where confidence > 0.5")
+    assert q.condition.value == 0.5
+    assert q.condition.is_number
+
+
+def test_parse_invalid_rejected():
+    for bad in ("select", "select bogus", "functions calling", "select functions where", "gibberish"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+# --- executor on the reference's fixture graph -----------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    """Two functions in src/auth.rs, one calls edge (db_executor.rs:264-321)."""
+    nodes = spark.createDataFrame(
+        [
+            ("src/auth.rs::auth_login", "auth_login", "Function", "src/auth.rs", "", "", ""),
+            ("src/auth.rs::validate_token", "validate_token", "Function", "src/auth.rs", "", "", ""),
+            ("src/auth.rs", "src/auth.rs", "Module", "src/auth.rs", "", "", ""),
+        ],
+        "id string, name string, entity_type string, doc_id string, containing_entity string, documentation string, detail string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (
+                "src/auth.rs::auth_login->src/auth.rs::validate_token::calls",
+                "src/auth.rs::auth_login",
+                "calls",
+                "src/auth.rs::validate_token",
+                1.0,
+            )
+        ],
+        "id string, subj string, pred string, obj string, weight double",
+    )
+    return nodes, edges
+
+
+def test_select_functions(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(nodes, edges, "select functions")
+    assert out.count() == 2
+
+
+def test_select_with_condition(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(nodes, edges, "select functions where name = 'auth_login'")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["name"] == "auth_login"
+
+
+def test_select_like_case_insensitive(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(nodes, edges, "select functions where name like 'AUTH%'")
+    assert out.count() == 1  # SQLite LIKE is case-insensitive
+
+
+def test_traversal_keeps_source(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(
+        nodes, edges, "functions calling functions where name = 'validate_token'"
+    )
+    rows = out.collect()
+    # condition applies to TARGETS; the SOURCE is returned
+    assert [r["name"] for r in rows] == ["auth_login"]
+
+
+def test_traversal_no_condition_self_match(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(nodes, edges, "functions calling functions")
+    # depth-0 self rows satisfy the target-type filter -> both functions
+    assert out.count() == 2
+
+
+def test_traversal_condition_excludes_depth0(fixture_graph):
+    nodes, edges = fixture_graph
+    out = execute_query(
+        nodes, edges, "functions calling functions where name = 'auth_login'"
+    )
+    # only target (depth>0) is validate_token; auth_login is depth 0
+    assert out.count() == 0
+
+
+def test_has_condition(fixture_graph):
+    nodes, edges = fixture_graph
+    assert execute_query(nodes, edges, "select functions where has name").count() == 2
+    assert (
+        execute_query(nodes, edges, "select functions where has documentation").count()
+        == 0
+    )
+
+
+# --- formatter -------------------------------------------------------------
+
+
+ROWS = [
+    {"id": "f::a", "name": "a", "entity_type": "Function", "doc_id": "f"},
+    {"id": "f::b", "name": "b", "entity_type": "Function", "doc_id": "",
+     "metadata": {"author": "x,y"}},
+]
+
+
+def test_format_text_golden():
+    out = format_text(ROWS)
+    assert out == "a (f::a) [f]\nb (f::b)\n"
+
+
+def test_format_text_empty():
+    assert format_text([]) == "No entities found"
+
+
+def test_format_csv_golden():
+    out = format_csv(ROWS)
+    lines = out.splitlines()
+    assert lines[0] == "id,name,type,file_path,author"
+    assert lines[1] == "f::a,a,Function,f,"
+    assert lines[2] == 'f::b,b,Function,,"x,y"'
+
+
+def test_text_limit_footer():
+    out = apply_text_limit("l1\nl2\nl3", 2)
+    assert out == "l1\nl2\n(Limited to 2 results, total: 3)"
+
+
+def test_format_rows_json():
+    import json
+
+    objs = json.loads(format_rows(ROWS, "json"))
+    assert objs[0] == {"id": "f::a", "name": "a", "type": "Function", "file_path": "f"}
+    assert "file_path" not in objs[1]
+    assert objs[1]["metadata"] == {"author": "x,y"}

@@ -83,6 +83,40 @@ def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree(_graph(spark, sf_dir).edges)
 
 
+def _uql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    from .query.executor import execute_query
+
+    g = _graph(spark, sf_dir)
+    out = execute_query(g.nodes, g.edges, query)
+    return out.select("id", "name", "entity_type", "doc_id", "containing_entity")
+
+
+def q_uql_select_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "select functions where name like 'k%'")
+
+
+def q_uql_select_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(
+        spark, sf_dir, "select classes where name = 'key' or name like 's%'"
+    )
+
+
+def q_uql_traversal_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # source_type == target_type with no condition: every source matches
+    # itself at depth 0 (faithful reference quirk, db.rs:853)
+    return _uql(spark, sf_dir, "functions calling functions")
+
+
+def q_uql_traversal_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(
+        spark, sf_dir, "functions calling functions where name like '%a%'"
+    )
+
+
+def q_uql_traversal_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "modules importing functions")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_spans": q_spans,
     "kg_mentions": q_mentions,
@@ -94,6 +128,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_neighborhood_module": q_neighborhood_module,
     "kg_neighborhood_media": q_neighborhood_media,
     "kg_degree": q_degree,
+    "uql_select_like": q_uql_select_like,
+    "uql_select_or": q_uql_select_or,
+    "uql_traversal_self": q_uql_traversal_self,
+    "uql_traversal_cond": q_uql_traversal_cond,
+    "uql_traversal_imports": q_uql_traversal_imports,
 }
 
 
@@ -163,5 +202,39 @@ SELECT 'in' AS direction, pred, subj AS other FROM edges
 FROM (SELECT subj AS id, count(*) AS out_degree FROM edges GROUP BY subj) o
 FULL OUTER JOIN (SELECT obj AS id, count(*) AS in_degree FROM edges GROUP BY obj) i
   ON o.id = i.id""",
+    ),
+    # --- UQL (query language) ---------------------------------------------
+    "uql_select_like": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Function' AND name ILIKE 'k%'",
+    ),
+    "uql_select_or": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Class' AND (name = 'key' OR name ILIKE 's%')",
+    ),
+    # self-match quirk: with no condition and source==target type, the
+    # depth-0 row satisfies the target filter -> every function matches
+    "uql_traversal_self": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Function'",
+    ),
+    # calls targets are terminal placeholders, so 1-hop EXISTS == the BFS
+    "uql_traversal_cond": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n WHERE n.entity_type = 'Function' AND EXISTS (
+  SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
+  WHERE e.subj = n.id AND e.pred = 'calls'
+    AND t.entity_type = 'Function' AND t.name ILIKE '%a%')""",
+    ),
+    "uql_traversal_imports": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
+  SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
+  WHERE e.subj = n.id AND e.pred = 'imports' AND t.entity_type = 'Function')""",
     ),
 }
