@@ -1,0 +1,145 @@
+"""Connected-components + canonicalization tests: correctness vs a
+driver-side union-find on random graphs, chain/star/skew shapes
+(mirroring the reference's 1000-node chain scale smoke,
+knowledge_graph.rs:1436-1487), and end-to-end canonicalization
+semantics on a tiny corpus."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ummon_spark.operators.cc import connected_components
+from ummon_spark.operators.linking import (
+    canonical_mapping,
+    canonicalize_edges,
+    canonicalize_nodes,
+    link_keys,
+)
+from ummon_spark.pipeline import build_graph
+from ummon_spark.schemas import DOCUMENTS
+
+
+def uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical = min id per component
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp.setdefault(root, []).append(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def run_cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "u string, v string")
+    res = connected_components(df)
+    got = {r["id"]: r["component"] for r in res.labels.collect()}
+    assert res.converged, "CC did not converge"
+    return got, res
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [("a", "b")],
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(200)],  # long chain
+        [("hub", f"s{i:03d}") for i in range(150)],  # star/hub skew
+    ],
+    ids=["single", "two_comps", "chain", "star"],
+)
+def test_cc_shapes(spark, pairs):
+    got, _ = run_cc(spark, pairs)
+    want = uf_components(pairs)
+    assert got == want
+
+
+def test_cc_random_vs_union_find(spark):
+    rng = random.Random(42)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    got, res = run_cc(spark, pairs)
+    want = uf_components(pairs)
+    assert got == want
+    assert res.rounds <= 10
+
+
+# --- canonicalization over the KG ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def canon_graph(spark):
+    rows = [
+        # doc 1 defines slow, calls hash.slow (fqn) and bare ref slow
+        ("1", [("def", "slow(x)", "", 0), ("call", "hash.slow", "", 1),
+                ("call", "slow", "", 2), ("import", "lib.slow", "", 3),
+                ("image", "", "img_slow", 4)]),
+        # doc 2 references slow too; its own def keeps it doc-scoped
+        ("2", [("def", "slow(y)", "", 0), ("call", "slow", "", 1)]),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCUMENTS)
+    g = build_graph(docs, persist=False)
+    canon = canonical_mapping(g.nodes)
+    return g, canon
+
+
+def test_link_keys_normalization(canon_graph):
+    g, _ = canon_graph
+    keys = {r["id"]: r["key"] for r in link_keys(g.nodes).collect()}
+    assert keys["hash.slow"] == "slow"
+    assert keys["lib.slow"] == "slow"
+    assert keys["slow"] == "slow"
+    assert keys["media::img_slow"] == "slow"
+    # doc-scoped real functions are NOT linkable
+    assert "1::slow" not in keys
+
+
+def test_canonical_mapping_merges_aliases(canon_graph):
+    g, canon = canon_graph
+    m = {r["id"]: r["canonical_id"] for r in canon.mapping.collect()}
+    targets = {m["hash.slow"], m["lib.slow"], m["slow"], m["media::img_slow"]}
+    assert len(targets) == 1  # all surface forms -> one canonical id
+    assert targets == {"hash.slow"}  # lexicographic min member
+
+
+def test_canonicalize_edges_merges_and_reweights(canon_graph):
+    g, canon = canon_graph
+    ce = canonicalize_edges(g.edges, canon.mapping)
+    rows = {(r["subj"], r["pred"], r["obj"]): r["weight"] for r in ce.collect()}
+    # both docs' bare "references slow" edges now point at the canonical id
+    assert rows[("1", "references", "hash.slow")] == 1.0
+    assert rows[("2", "references", "hash.slow")] == 1.0
+    # depicts + imports collapse onto the same canonical target
+    assert ("1", "depicts", "hash.slow") in rows
+    assert ("1", "imports", "hash.slow") in rows
+    # doc-scoped defines edges unchanged
+    assert ("1", "defines", "1::slow") in rows
+
+
+def test_canonicalize_nodes_keeps_representative(canon_graph):
+    g, canon = canon_graph
+    cn = canonicalize_nodes(g.nodes, canon.mapping)
+    ids = {r["id"] for r in cn.collect()}
+    assert "hash.slow" in ids
+    assert "lib.slow" not in ids and "media::img_slow" not in ids
+    assert "1::slow" in ids and "2::slow" in ids  # doc-scoped survive

@@ -32,8 +32,18 @@ NEIGHBOR_MEDIA = "media::img_the"  # hub media entity (zipf head token)
 # --- Spark side ------------------------------------------------------------
 
 
+_GRAPH_CACHE: dict[str, object] = {}
+
+
 def _graph(spark: SparkSession, sf_dir: str):
-    return build_graph(load_spans(spark, sf_dir), persist=True)
+    """Build (or reuse) the persisted graph for a scale-factor dir —
+    the driver runs many gate queries against the same corpus."""
+    key = f"{id(spark)}:{sf_dir}"
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = build_graph(load_spans(spark, sf_dir), persist=True)
+        _GRAPH_CACHE[key] = g
+    return g
 
 
 def q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +127,26 @@ def q_uql_traversal_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "modules importing functions")
 
 
+def q_link_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linking import link_keys
+
+    return link_keys(_graph(spark, sf_dir).nodes)
+
+
+def q_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linking import canonical_mapping
+
+    return canonical_mapping(_graph(spark, sf_dir).nodes).mapping
+
+
+def q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linking import canonical_mapping, canonicalize_edges
+
+    g = _graph(spark, sf_dir)
+    canon = canonical_mapping(g.nodes)
+    return canonicalize_edges(g.edges, canon.mapping)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_spans": q_spans,
     "kg_mentions": q_mentions,
@@ -133,6 +163,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uql_traversal_self": q_uql_traversal_self,
     "uql_traversal_cond": q_uql_traversal_cond,
     "uql_traversal_imports": q_uql_traversal_imports,
+    "kg_link_keys": q_link_keys,
+    "kg_canonical_map": q_canonical_map,
+    "kg_canonical_edges": q_canonical_edges,
 }
 
 
@@ -236,5 +269,13 @@ FROM all_nodes n WHERE n.entity_type = 'Function' AND EXISTS (
 FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
   SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
   WHERE e.subj = n.id AND e.pred = 'imports' AND t.entity_type = 'Function')""",
+    ),
+    # --- linking + canonicalization ---------------------------------------
+    "kg_link_keys": oracle.q(oracle.CANON_CTES, "SELECT id, key FROM link_keys"),
+    "kg_canonical_map": oracle.q(
+        oracle.CANON_CTES, "SELECT id, canonical_id FROM canon"
+    ),
+    "kg_canonical_edges": oracle.q(
+        oracle.CANON_CTES, "SELECT id, subj, pred, obj, weight FROM canon_edges"
     ),
 }

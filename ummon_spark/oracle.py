@@ -137,5 +137,33 @@ all_nodes AS (
 )"""
 
 
+# --- linking + canonicalization (operators/linking.py + cc.py) ------------
+# The Spark side computes components with large-star/small-star; the
+# star-shaped same-as pairs make each component exactly one key group,
+# so the oracle is a window min over the key partition.
+CANON_CTES = GRAPH_CTES + """,
+link_keys AS (
+  SELECT id,
+         string_split(regexp_replace(lower(name), '^(img_|aud_|vid_)', ''), '.')[-1] AS key
+  FROM all_nodes
+  WHERE (entity_type = 'Function' AND doc_id = '') OR entity_type = 'Media'
+),
+canon AS (
+  SELECT id, MIN(id) OVER (PARTITION BY key) AS canonical_id FROM link_keys
+),
+canon_edges AS (
+  SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj,
+         CAST(w AS DOUBLE) AS weight
+  FROM (
+    SELECT coalesce(cs.canonical_id, e.subj) AS subj, e.pred,
+           coalesce(co.canonical_id, e.obj) AS obj, SUM(1.0) AS w
+    FROM edges e
+    LEFT JOIN canon cs ON cs.id = e.subj
+    LEFT JOIN canon co ON co.id = e.obj
+    GROUP BY 1, 2, 3
+  )
+)"""
+
+
 def q(ctes: str, body: str) -> str:
     return f"WITH {ctes}\n{body}"
