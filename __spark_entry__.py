@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ummon_spark import gate  # noqa: E402
+from ummon_spark import gate, gate_datapipe  # noqa: E402
 from ummon_spark.corpus import load_spans  # noqa: E402
 from ummon_spark.operators.traversal import who_calls  # noqa: E402
 from ummon_spark.pipeline import build_graph  # noqa: E402
@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(gate.QUERIES)
+    return {**gate.QUERIES, **gate_datapipe.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(gate.ORACLES)
+    return {**gate.ORACLES, **gate_datapipe.ORACLES}

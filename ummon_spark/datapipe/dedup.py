@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a documents DataFrame (doc_id, text). Five strategies,
+cheapest to richest:
+
+* exact          — md5(text) group-by; one shuffle on the hash.
+* minhash_lsh    — token-set MinHash signatures -> LSH band buckets ->
+                   candidate pairs -> exact-Jaccard verify. The
+                   standard shingle->minhash->band->bucket-join path;
+                   pair generation is linear in bucket sizes, never the
+                   quadratic all-pairs join.
+* simhash        — 16-bit sign-sum fingerprint; near-dups = pairs with
+                   small Hamming distance within a bucket.
+* ngram_jaccard  — exact all-pairs token-set Jaccard (quadratic;
+                   guarded: for verification / small candidate sets).
+* embedding near-dup — see similarity.py (cosine threshold).
+
+Thresholds use integer cross-multiplication (inter * den >= num *
+union) so the oracle comparison is float-free.
+
+At 100 TB: tokenization is a narrow op; signatures are one groupBy per
+doc (map-side partial min); band join keys are uniform md5 buckets, so
+no skew beyond true duplicate clusters (which AQE skew-join splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import N_BANDS, band_columns, minhash_agg_columns, simhash_agg_column
+
+
+def doc_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, content_hash) — the exact-dedup primitive."""
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+def exact_duplicate_groups(documents: DataFrame) -> DataFrame:
+    """Hash groups with >1 member: (content_hash, n_docs, min_doc_id).
+
+    The canonical keep-first policy: min_doc_id is the survivor."""
+    return (
+        doc_hashes(documents)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, token) distinct token sets — shared by minhash/jaccard."""
+    return (
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15) — one groupBy, map-side partial mins."""
+    return doc_tokens(documents).groupBy("doc_id").agg(*minhash_agg_columns())
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Unordered candidate pairs (a < b) sharing >= 1 LSH band."""
+    banded = signatures.select("doc_id", *band_columns())
+    pairs = None
+    for b in range(N_BANDS):
+        left = banded.select(
+            F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk")
+        )
+        right = banded.select(
+            F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk")
+        )
+        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    tokens: DataFrame, pairs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs; integer threshold
+    inter/union >= num/den. Output (a, b, inter, union_size)."""
+    ta = tokens.select(F.col("doc_id").alias("a"), "token")
+    tb = tokens.select(F.col("doc_id").alias("b"), "token")
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("union_size"),
+        )
+        .filter(
+            F.col("inter") * threshold_den >= F.col("union_size") * threshold_num
+        )
+    )
+    return out
+
+
+def minhash_near_duplicates(
+    documents: DataFrame, threshold_num: int = 4, threshold_den: int = 5
+) -> DataFrame:
+    """Full shingle→minhash→band→bucket-join→verify pipeline."""
+    tokens = doc_tokens(documents).persist()
+    sigs = minhash_signatures(documents)
+    cands = lsh_candidates(sigs)
+    return jaccard_pairs(tokens, cands, threshold_num, threshold_den)
+
+
+def ngram_jaccard_all_pairs(
+    documents: DataFrame, threshold_num: int = 1, threshold_den: int = 2
+) -> DataFrame:
+    """Exact all-pairs token Jaccard (quadratic — verification tool and
+    oracle for the LSH path, not the scale path)."""
+    tokens = doc_tokens(documents).persist()
+    ids = tokens.select("doc_id").distinct()
+    pairs = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    return jaccard_pairs(tokens, pairs, threshold_num, threshold_den)
+
+
+def simhashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit sign-sum fingerprints."""
+    return (
+        doc_tokens(documents)
+        .groupBy("doc_id")
+        .agg(simhash_agg_column().alias("simhash"))
+    )
+
+
+def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Pairs whose simhashes differ in <= max_hamming bits.
+
+    Bucketing: 16 bits split into 3 chunks (6/5/5); by pigeonhole any
+    pair with hamming <= 2 agrees on at least one full chunk, so a
+    3-way bucket join finds every such pair; exact bit_count filter
+    afterwards. Output (a, b, hamming)."""
+    s = simhashes(documents)
+    chunks = [
+        s.withColumn("bk", F.concat(F.lit("c0:"), F.col("simhash").bitwiseAND(F.lit(0x3F)).cast("string"))),
+        s.withColumn(
+            "bk",
+            F.concat(
+                F.lit("c1:"),
+                F.shiftrightunsigned("simhash", 6).bitwiseAND(F.lit(0x1F)).cast("string"),
+            ),
+        ),
+        s.withColumn("bk", F.concat(F.lit("c2:"), F.shiftrightunsigned("simhash", 11).cast("string"))),
+    ]
+    pairs = None
+    for bucketed in chunks:
+        left = bucketed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "bk")
+        right = bucketed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "bk")
+        p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.distinct()
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,292 @@
+"""Correctness-gate registry for the training-data pipeline operators
+(dedup / similarity / text analysis) over the driver's documents and
+embeddings tables. Oracle SQL is generated from the same hash / weight
+definitions the Spark operators use (datapipe.hashing,
+datapipe.similarity.plane_weights)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .datapipe.hashing import N_BANDS, N_MINHASH, band_sql, simhash_sql, token_hash_sql
+from .datapipe.similarity import plane_weights
+
+EMB_DIM = 64  # driver testdata embeddings dimension
+ANN_QUERY_VEC = 0
+ANN_K = 10
+COS_THRESH_MILLI = 950
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_doc_hashes(spark, sf_dir):
+    from .datapipe.dedup import doc_hashes
+
+    return doc_hashes(_docs(spark, sf_dir))
+
+
+def q_exact_dupes(spark, sf_dir):
+    from .datapipe.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from .datapipe.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .datapipe.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    from .datapipe.dedup import simhashes
+
+    return simhashes(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .datapipe.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    from .datapipe.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    from .datapipe.textstats import quality_stats
+
+    return quality_stats(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from .datapipe.textstats import token_counts_by_lang
+
+    return token_counts_by_lang(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    from .datapipe.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_topk_cosine(spark, sf_dir):
+    from .datapipe.similarity import topk_cosine
+
+    return topk_cosine(_embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+
+
+def q_lsh_topk_cosine(spark, sf_dir):
+    from .datapipe.similarity import lsh_topk_cosine
+
+    return lsh_topk_cosine(_embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+
+
+def q_cosine_near_dups(spark, sf_dir):
+    from .datapipe.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(_embs(spark, sf_dir), COS_THRESH_MILLI)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dp_doc_hashes": q_doc_hashes,
+    "dp_exact_dupes": q_exact_dupes,
+    "dp_minhash_sigs": q_minhash_sigs,
+    "dp_minhash_pairs": q_minhash_pairs,
+    "dp_simhash": q_simhash,
+    "dp_simhash_pairs": q_simhash_pairs,
+    "dp_langid": q_langid,
+    "dp_quality": q_quality,
+    "dp_token_counts": q_token_counts,
+    "dp_fingerprints": q_fingerprints,
+    "dp_topk_cosine": q_topk_cosine,
+    "dp_lsh_topk_cosine": q_lsh_topk_cosine,
+    "dp_cosine_near_dups": q_cosine_near_dups,
+}
+
+
+# --- oracle SQL ------------------------------------------------------------
+
+from .datapipe.textstats import LANGS, STOPWORDS  # noqa: E402
+
+TOKENS_CTE = """
+dtoks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)"""
+
+_MH_COLS = ",\n         ".join(
+    f"MIN({token_hash_sql('token', k)}) AS mh{k}" for k in range(N_MINHASH)
+)
+SIGS_CTE = TOKENS_CTE + f""",
+sigs AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM dtoks GROUP BY doc_id
+)"""
+
+_BAND_COLS = ",\n         ".join(band_sql())
+BANDS_CTE = SIGS_CTE + f""",
+bands AS (
+  SELECT doc_id,
+         {_BAND_COLS}
+  FROM sigs
+)"""
+
+_CAND_UNION = "\n  UNION\n".join(
+    f"  SELECT x.doc_id AS a, y.doc_id AS b FROM bands x "
+    f"JOIN bands y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+    for b in range(N_BANDS)
+)
+PAIRS_CTE = BANDS_CTE + f""",
+cands AS (
+{_CAND_UNION}
+),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cands c
+  JOIN dtoks ta ON ta.doc_id = c.a
+  JOIN dtoks tb ON tb.doc_id = c.b AND tb.token = ta.token
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dtoks GROUP BY doc_id)"""
+
+_STOP_ALL = ", ".join(
+    f"'{w}'" for lang in LANGS for w in STOPWORDS[lang]
+)
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: (
+            "len(list_intersect(string_split(text, ' '), ["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "]))"
+        )
+        for lang in LANGS
+    }
+    best = "greatest(" + ", ".join(hits[lang] for lang in LANGS) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in LANGS
+    ) + " END"
+    return f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       {pred} AS predicted_lang,
+       CAST({best} AS BIGINT) AS best_hits,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents"""
+
+
+_Q_CTE = """
+qv AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+
+
+def _signs_cte() -> str:
+    planes = plane_weights(EMB_DIM, 8)
+    terms = []
+    for p, row in enumerate(planes):
+        plus = [str(i + 1) for i, v in enumerate(row) if v == 1]
+        minus = [str(i + 1) for i, v in enumerate(row) if v == -1]
+        proj = (
+            f"(list_sum(list_select(q, [{', '.join(plus)}])) - "
+            f"list_sum(list_select(q, [{', '.join(minus)}])))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return _Q_CTE + f""",
+signs AS (
+  SELECT vec_id, q, CAST({bucket} AS BIGINT) AS bucket FROM qv
+)"""
+
+
+_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, {d}), "
+    "i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(d=EMB_DIM, a=a, b=b)
+
+
+_T2 = (COS_THRESH_MILLI / 1000.0) ** 2
+
+ORACLES: dict[str, str] = {
+    "dp_doc_hashes": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents",
+    "dp_exact_dupes": """SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents)
+GROUP BY content_hash HAVING COUNT(*) > 1""",
+    "dp_minhash_sigs": f"WITH {SIGS_CTE}\nSELECT * FROM sigs",
+    "dp_minhash_pairs": f"""WITH {PAIRS_CTE}
+SELECT p.a, p.b, p.inter, (sa.sz + sb.sz - p.inter) AS union_size
+FROM inter p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 4""",
+    "dp_simhash": f"WITH {TOKENS_CTE}\nSELECT doc_id, {simhash_sql()} AS simhash FROM dtoks GROUP BY doc_id",
+    # bucketing guarantees all hamming<=2 pairs are found, so the exact
+    # all-pairs formulation is the oracle
+    "dp_simhash_pairs": f"""WITH {TOKENS_CTE},
+sh AS (SELECT doc_id, {simhash_sql()} AS simhash FROM dtoks GROUP BY doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""",
+    "dp_langid": _langid_sql(),
+    "dp_quality": f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS max_token_len,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [{_STOP_ALL}])) AS BIGINT) AS distinct_stopword_hits
+FROM documents""",
+    "dp_token_counts": """SELECT lang, COUNT(*) AS n_docs,
+       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+       MAX(CAST(len(string_split(text, ' ')) AS BIGINT)) AS max_tokens
+FROM documents GROUP BY lang""",
+    "dp_fingerprints": """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents""",
+    "dp_topk_cosine": f"""WITH {_Q_CTE},
+qq AS (SELECT q AS query_q FROM qv WHERE vec_id = {ANN_QUERY_VEC})
+SELECT vec_id, {_dot_sql('q', 'query_q')} AS dot
+FROM qv, qq WHERE vec_id <> {ANN_QUERY_VEC}
+ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
+    "dp_cosine_near_dups": f"""WITH {_signs_cte()}
+SELECT a, b, dot, na2, nb2 FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         {_dot_sql('x.q', 'y.q')} AS dot,
+         {_dot_sql('x.q', 'x.q')} AS na2,
+         {_dot_sql('y.q', 'y.q')} AS nb2
+  FROM signs x JOIN signs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {_T2} * (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))""",
+    # dp_lsh_topk_cosine: rows-only (approximate recall path; exactness
+    # is pinned by dp_topk_cosine + unit tests comparing recall)
+}
