@@ -147,6 +147,17 @@ def q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_edges(g.edges, canon.mapping)
 
 
+RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
+
+
+def q_relevant_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relevance import suggest_relevant_files
+
+    g = _graph(spark, sf_dir)
+    out = suggest_relevant_files(g.nodes, g.edges, RELEVANCE_CHANGE)
+    return out.select("path", "relevance_score", "n_contributing")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_spans": q_spans,
     "kg_mentions": q_mentions,
@@ -166,6 +177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
+    "kg_relevant_files": q_relevant_files,
 }
 
 
@@ -278,4 +290,63 @@ FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
     "kg_canonical_edges": oracle.q(
         oracle.CANON_CTES, "SELECT id, subj, pred, obj, weight FROM canon_edges"
     ),
+    "kg_relevant_files": "WITH RECURSIVE "
+    + oracle.GRAPH_CTES.lstrip()
+    + """,
+seeds AS (
+  SELECT id, name, doc_id,
+    (CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || ''), 'key')
+          THEN CAST(1.0 AS DOUBLE) + (CASE WHEN contains(lower(name), 'key') THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+          ELSE CAST(0.0 AS DOUBLE) END
+   + CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || ''), 'join')
+          THEN CAST(1.0 AS DOUBLE) + (CASE WHEN contains(lower(name), 'join') THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+          ELSE CAST(0.0 AS DOUBLE) END) AS score
+  FROM all_nodes
+  WHERE entity_type IN ('Function','Method','Class','Module','Variable','Constant','DomainConcept')
+),
+seeds2 AS (SELECT * FROM seeds WHERE score > CAST(0.0 AS DOUBLE)),
+walk(seed, rel, id, depth) AS (
+  SELECT s.id, r.rel, s.id, CAST(0 AS BIGINT)
+  FROM seeds2 s, (SELECT unnest(['calls','contains','imports','references','represented_by']) AS rel) r
+  UNION
+  SELECT w.seed, w.rel, CASE WHEN e.subj = w.id THEN e.obj ELSE e.subj END, w.depth + 1
+  FROM walk w JOIN edges e ON e.pred = w.rel AND (e.subj = w.id OR e.obj = w.id)
+  WHERE w.depth < 2
+),
+expanded AS (
+  SELECT x.id, MAX(s.score * (CAST(1.0 AS DOUBLE) / (x.mind + CAST(1.0 AS DOUBLE)))) AS prox
+  FROM (
+    SELECT w.seed, w.rel, w.id, MIN(w.depth) AS mind
+    FROM walk w
+    WHERE w.depth > 0 AND w.id NOT IN (SELECT id FROM seeds2)
+    GROUP BY w.seed, w.rel, w.id
+  ) x JOIN seeds2 s ON s.id = x.seed
+  GROUP BY x.id
+),
+cands AS (
+  SELECT id, score AS prox FROM seeds2
+  UNION ALL
+  SELECT id, prox FROM expanded
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM (SELECT subj AS id FROM edges UNION ALL SELECT obj AS id FROM edges)
+  GROUP BY id
+),
+withdeg AS (
+  SELECT c.id, c.prox, COALESCE(d.deg, CAST(0.0 AS DOUBLE)) AS deg
+  FROM cands c LEFT JOIN deg d ON d.id = c.id
+),
+maxd AS (SELECT MAX(deg) AS maxdeg FROM withdeg),
+ranked AS (
+  SELECT id, prox,
+         prox * CAST(0.7 AS DOUBLE) + (CASE WHEN maxdeg > CAST(0.0 AS DOUBLE) THEN deg / maxdeg ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE) AS final_score
+  FROM withdeg, maxd
+)
+SELECT n.doc_id AS path, MAX(r.final_score) AS relevance_score,
+       CAST(COUNT(*) AS BIGINT) AS n_contributing
+FROM ranked r JOIN all_nodes n ON n.id = r.id
+WHERE n.doc_id <> ''
+GROUP BY n.doc_id
+ORDER BY relevance_score DESC, path LIMIT 10""",
 }
