@@ -158,6 +158,37 @@ def q_relevant_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("path", "relevance_score", "n_contributing")
 
 
+
+def q_dm_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .domain import chunk_documents, stub_concepts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stub_concepts(chunk_documents(docs))
+
+
+def q_dm_represented_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .domain import chunk_documents, represented_by_edges, stub_concepts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = _graph(spark, sf_dir)
+    rep = represented_by_edges(stub_concepts(chunk_documents(docs)), g.nodes)
+    return rep.select("id", "subj", "pred", "obj")
+
+
+def q_dm_relates_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .domain import (
+        chunk_documents,
+        relates_to_edges,
+        represented_by_edges,
+        stub_concepts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = _graph(spark, sf_dir)
+    rep = represented_by_edges(stub_concepts(chunk_documents(docs)), g.nodes)
+    return relates_to_edges(rep, g.edges).select("id", "subj", "pred", "obj")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_spans": q_spans,
     "kg_mentions": q_mentions,
@@ -178,12 +209,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
     "kg_relevant_files": q_relevant_files,
+    "dm_concepts": q_dm_concepts,
+    "dm_represented_by": q_dm_represented_by,
+    "dm_relates_to": q_dm_relates_to,
 }
 
 
 # --- DuckDB oracle side ----------------------------------------------------
 
 _PREDS_SQL = ", ".join(f"'{p}'" for p in TRANS_PREDS)
+
+
+_DM_CTES = """,
+concepts AS (
+  SELECT doc_id, token AS name FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE length(text) >= 100 AND length(text) <= 100000
+  ) WHERE length(token) >= 6
+  GROUP BY doc_id, token HAVING COUNT(*) >= 2
+),
+anchors AS (
+  SELECT DISTINCT c.name AS concept, n.id
+  FROM concepts c JOIN all_nodes n
+    ON n.entity_type = 'Function' AND n.name = c.name AND n.doc_id = c.doc_id
+)"""
 
 ORACLES: dict[str, str] = {
     "kg_spans": oracle.q(
@@ -349,4 +399,27 @@ FROM ranked r JOIN all_nodes n ON n.id = r.id
 WHERE n.doc_id <> ''
 GROUP BY n.doc_id
 ORDER BY relevance_score DESC, path LIMIT 10""",
+    "dm_concepts": oracle.q(
+        oracle.GRAPH_CTES + _DM_CTES, "SELECT doc_id, name FROM concepts"
+    ),
+    "dm_represented_by": oracle.q(
+        oracle.GRAPH_CTES + _DM_CTES,
+        """SELECT concat(concept, '->', id, '::represented_by') AS id,
+       concept AS subj, 'represented_by' AS pred, id AS obj
+FROM anchors""",
+    ),
+    "dm_relates_to": "WITH RECURSIVE "
+    + (oracle.GRAPH_CTES + _DM_CTES).lstrip()
+    + """,
+rwalk(root, dst, depth) AS (
+  SELECT a.id, e.obj, CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT id FROM anchors) a JOIN edges e ON e.subj = a.id
+  UNION
+  SELECT w.root, e.obj, w.depth + 1
+  FROM rwalk w JOIN edges e ON e.subj = w.dst WHERE w.depth < 3
+)
+SELECT DISTINCT concat(a.concept, '->', b.concept, '::relates_to') AS id,
+       a.concept AS subj, 'relates_to' AS pred, b.concept AS obj
+FROM anchors a JOIN rwalk w ON w.root = a.id
+JOIN anchors b ON b.id = w.dst AND b.concept <> a.concept""",
 }
