@@ -1,33 +1,49 @@
 """Benchmark harness: end-to-end KG construction throughput + headline queries.
 
-Runs the full pipeline (spanify -> parse -> nodes/edges materialize) at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": "triples_per_sec", "value": N, "unit": "sec",
-   "queries": {...per-query seconds...}, "sf": ..., ...}
+Pipeline measured as a production run: read documents -> spanify ->
+parse -> nodes/edges (persisted) -> MATERIALIZE partitioned parquet
+(nodes by entity_type, edges by pred). Throughput = triples/sec over
+that whole build+write. Queries then run against the materialized
+tables (partition-pruned scans, as a downstream consumer would).
 
-`python bench.py --scaling` additionally runs the same job at two
-parallelism levels (8 and 32 cores by default) in separate JVMs and
-reports throughput at both plus scaling efficiency
-(= (thr_hi/thr_lo)/(hi/lo)) — the in-sandbox evidence for the
-N -> 4N executor scaling criterion.
+Env:
+  SPARK_GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] (default all cores)
+  SPARK_GRAFT_REPLICATE  input replication factor (default 1) —
+                         deterministic doc_id-suffixed copies, used to
+                         make compute dominate fixed overhead for the
+                         scaling study
+
+Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., ...}
+
+`python bench.py --scaling [lo hi]` runs the same replicated input at
+two parallelism levels in separate JVMs and reports both throughputs +
+efficiency = (thr_hi/thr_lo)/(hi/lo) — the in-sandbox evidence for the
+N -> 4N executor criterion.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
 
 
-def run_bench(cores: int | None = None) -> dict:
+def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
     from ummon_spark.corpus import load_spans
     from ummon_spark.operators.traversal import (
         degree,
@@ -35,65 +51,91 @@ def run_bench(cores: int | None = None) -> dict:
         transitive_depends,
         who_calls,
     )
-    from ummon_spark.pipeline import build_graph
+    from ummon_spark.pipeline import build_graph, materialize
     from ummon_spark.session import get_spark
 
+    replicate = REPLICATE if replicate is None else replicate
     spark = get_spark("ummon_bench", cores=cores)
     actual_cores = spark.sparkContext.defaultParallelism
 
-    timings: dict[str, float] = {}
-
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
-
-    # warm the JVM + parquet footer cache out of band
     spans = load_spans(spark, SF_DIR)
-    n_docs = spans.count()
+    if replicate > 1:
+        reps = spark.range(replicate).select(
+            F.col("id").cast("string").alias("_rep")
+        )
+        spans = spans.crossJoin(reps).select(
+            F.concat("doc_id", F.lit("#"), "_rep").alias("doc_id"), "spans"
+        )
+    # the driver testdata is one small parquet file -> 1 input split; a
+    # real 100 TB table has thousands. Spread by doc_id so every stage
+    # gets full parallelism (matches bucket(doc_id) table layout).
+    spans = spans.repartition(actual_cores * 4, "doc_id")
+    n_docs = spans.count()  # warms parquet footers + JVM before timing
 
-    t0 = time.perf_counter()
-    g = build_graph(spans, persist=True)
-    n_triples = timed("pipeline_build", lambda: g.edges.count())
-    n_nodes = g.nodes.count()
-    build_sec = time.perf_counter() - t0
+    out_dir = tempfile.mkdtemp(prefix="ummon_bench_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        g = build_graph(spans, persist=True)
+        materialize(g, out_dir)
+        build_sec = time.perf_counter() - t0
+        timings["pipeline_build_and_write"] = round(build_sec, 3)
 
-    timed("q_who_calls", lambda: who_calls(g.edges).count())
-    timed(
-        "q_transitive_depends",
-        lambda: transitive_depends(g.nodes, g.edges).count(),
+        nodes = spark.read.parquet(f"{out_dir}/nodes")
+        edges = spark.read.parquet(f"{out_dir}/edges")
+        n_triples = edges.count()
+        n_nodes = nodes.count()
+
+        def timed(name, fn):
+            t = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t, 3)
+
+        timed("q_who_calls", lambda: who_calls(edges).count())
+        timed(
+            "q_transitive_depends",
+            lambda: transitive_depends(nodes, edges).count(),
+        )
+        timed(
+            "q_neighborhood",
+            lambda: entity_neighborhood(edges, "media::img_the").count(),
+        )
+        timed("q_degree", lambda: degree(edges).count())
+
+        result = {
+            "metric": "triples_per_sec",
+            "value": round(n_triples / build_sec, 1),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "replicate": replicate,
+            "cores": actual_cores,
+            "n_docs": n_docs,
+            "n_triples": n_triples,
+            "n_nodes": n_nodes,
+            "build_sec": round(build_sec, 3),
+        }
+        g.unpersist()
+        return result
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+
+
+def run_scaling(lo: int = 8, hi: int = 32, replicate: int | None = None) -> dict:
+    """Same job + same input, two parallelism levels, separate JVMs."""
+    replicate = (
+        replicate
+        if replicate is not None
+        else int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
     )
-    timed(
-        "q_neighborhood",
-        lambda: entity_neighborhood(g.edges, "media::img_the").count(),
-    )
-    timed("q_degree", lambda: degree(g.edges).count())
-
-    total_q = sum(v for k, v in timings.items() if k.startswith("q_"))
-    result = {
-        "metric": "triples_per_sec",
-        "value": round(n_triples / build_sec, 1),
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-        "cores": actual_cores,
-        "n_docs": n_docs,
-        "n_triples": n_triples,
-        "n_nodes": n_nodes,
-        "build_sec": round(build_sec, 3),
-        "query_sec_total": round(total_q, 3),
-    }
-    g.unpersist()
-    spark.stop()
-    return result
-
-
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    """Same job, two parallelism levels, separate JVMs."""
     out = {}
     for cores in (lo, hi):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            SPARK_GRAFT_REPLICATE=str(replicate),
+        )
         proc = subprocess.run(
             [sys.executable, __file__, "--single"],
             env=env,
@@ -102,8 +144,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             check=True,
         )
         out[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
-    thr_lo = out[lo]["value"]
-    thr_hi = out[hi]["value"]
+    thr_lo, thr_hi = out[lo]["value"], out[hi]["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -113,12 +154,18 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "hi_cores": hi,
         "thr_lo": thr_lo,
         "thr_hi": thr_hi,
+        "build_sec_lo": out[lo]["build_sec"],
+        "build_sec_hi": out[hi]["build_sec"],
+        "n_triples": out[hi]["n_triples"],
+        "replicate": replicate,
         "sf": SF_DIR,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        lo, hi = (int(args[0]), int(args[1])) if len(args) >= 2 else (8, 32)
+        print(json.dumps(run_scaling(lo, hi)))
     else:
         print(json.dumps(run_bench()))

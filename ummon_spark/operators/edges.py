@@ -30,58 +30,45 @@ from pyspark.sql import functions as F
 
 
 def candidate_edges(mentions: DataFrame) -> DataFrame:
-    """Project mentions into candidate (subj, pred, obj) triples."""
-    m = mentions
+    """Project mentions into candidate (subj, pred, obj) triples.
+
+    Single pass: each mention row emits an array of 0-2 candidate
+    structs which is exploded — one scan of the (cached) mentions
+    instead of a 7-branch union re-reading it seven times.
+    """
     doc = F.col("doc_id")
     name = F.col("name")
     detail = F.col("detail")
+    mt = F.col("mention_type")
 
-    def cand(df: DataFrame, subj, pred: str, obj) -> DataFrame:
-        return df.select(
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
-            obj.alias("obj"),
-            "doc_id",
-            "span_idx",
+    def c(subj, pred: str, obj):
+        return F.struct(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
         )
 
-    is_ = lambda t: F.col("mention_type") == t
-
-    defines_fn = cand(
-        m.filter(is_("Function")), doc, "defines", F.concat(doc, F.lit("::"), name)
+    fn_id = F.concat(doc, F.lit("::"), name)
+    cls_id = F.concat(F.lit("type::"), doc, F.lit("::"), name)
+    cands = (
+        F.when(mt == "Function", F.array(c(doc, "defines", fn_id)))
+        .when(
+            mt == "Class",
+            F.when(
+                detail != "",
+                F.array(c(doc, "defines", cls_id), c(fn_id, "inherits", detail)),
+            ).otherwise(F.array(c(doc, "defines", cls_id))),
+        )
+        .when(
+            mt == "CallSite",
+            F.when(detail != "", F.array(c(fn_id, "calls", detail))).otherwise(
+                F.array(c(doc, "references", name))
+            ),
+        )
+        .when(mt == "Import", F.array(c(doc, "imports", name)))
+        .when(mt == "Media", F.array(c(doc, "depicts", F.concat(F.lit("media::"), name))))
     )
-    defines_cls = cand(
-        m.filter(is_("Class")),
-        doc,
-        "defines",
-        F.concat(F.lit("type::"), doc, F.lit("::"), name),
-    )
-    calls = cand(
-        m.filter(is_("CallSite") & (detail != "")),
-        F.concat(doc, F.lit("::"), name),
-        "calls",
-        detail,
-    )
-    references = cand(m.filter(is_("CallSite") & (detail == "")), doc, "references", name)
-    imports = cand(m.filter(is_("Import")), doc, "imports", name)
-    inherits = cand(
-        m.filter(is_("Class") & (detail != "")),
-        F.concat(doc, F.lit("::"), name),
-        "inherits",
-        detail,
-    )
-    depicts = cand(
-        m.filter(is_("Media")), doc, "depicts", F.concat(F.lit("media::"), name)
-    )
-
-    return (
-        defines_fn.unionByName(defines_cls)
-        .unionByName(calls)
-        .unionByName(references)
-        .unionByName(imports)
-        .unionByName(inherits)
-        .unionByName(depicts)
-    )
+    return mentions.select(
+        "doc_id", "span_idx", F.explode(cands).alias("e")
+    ).select("e.subj", "e.pred", "e.obj", "doc_id", "span_idx")
 
 
 def build_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -92,9 +79,20 @@ def build_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     skew on the join side); AQE skew-join covers residual hot keys.
     """
     cands = candidate_edges(mentions)
-    checked = cands.join(
-        nodes.select(F.col("id").alias("subj")), "subj", "left_semi"
+    # source-exists check, split by subject shape: a module subject
+    # (subj == doc_id) always exists (one module node per document);
+    # only "{doc}::{name}" subjects (calls/inherits) can dangle, and
+    # those can only match Function ids — so the join probes the
+    # Function slice of the node table, not the whole graph.
+    module_cands = cands.filter(F.col("subj") == F.col("doc_id"))
+    fn_cands = cands.filter(F.col("subj") != F.col("doc_id")).join(
+        nodes.filter(F.col("entity_type") == "Function").select(
+            F.col("id").alias("subj")
+        ),
+        "subj",
+        "left_semi",
     )
+    checked = module_cands.unionByName(fn_cands)
     w = Window.partitionBy("id").orderBy("doc_id", "span_idx")
     return (
         checked.withColumn(

@@ -50,39 +50,31 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     m = mentions
     doc = F.col("doc_id")
     name = F.col("name")
+    mt = F.col("mention_type")
 
-    functions = m.filter(F.col("mention_type") == "Function").select(
-        F.concat(doc, F.lit("::"), name).alias("id"),
-        name.alias("name"),
-        F.lit("Function").alias("entity_type"),
-        doc.alias("doc_id"),
-        doc.alias("containing_entity"),
-        F.col("detail"),
-        F.col("offset"),
-        doc.alias("_ord_doc"),
-        F.col("span_idx").alias("_ord_idx"),
+    # single pass over (cached) mentions: id/type/containing per row
+    node_id = (
+        F.when(mt == "Function", F.concat(doc, F.lit("::"), name))
+        .when(mt == "Class", F.concat(F.lit("type::"), doc, F.lit("::"), name))
+        .when(mt == "Media", F.concat(F.lit("media::"), name))
     )
-    classes = m.filter(F.col("mention_type") == "Class").select(
-        F.concat(F.lit("type::"), doc, F.lit("::"), name).alias("id"),
-        name.alias("name"),
-        F.lit("Class").alias("entity_type"),
-        doc.alias("doc_id"),
-        doc.alias("containing_entity"),
-        F.col("detail"),
-        F.col("offset"),
-        doc.alias("_ord_doc"),
-        F.col("span_idx").alias("_ord_idx"),
-    )
-    media = m.filter(F.col("mention_type") == "Media").select(
-        F.concat(F.lit("media::"), name).alias("id"),
-        name.alias("name"),
-        F.lit("Media").alias("entity_type"),
-        doc.alias("doc_id"),
-        F.lit("").alias("containing_entity"),
-        F.col("detail"),
-        F.col("offset"),
-        doc.alias("_ord_doc"),
-        F.col("span_idx").alias("_ord_idx"),
+    entities = (
+        m.filter(mt.isin("Function", "Class", "Media"))
+        .select(
+            node_id.alias("id"),
+            name.alias("name"),
+            F.when(mt == "Media", "Media")
+            .otherwise(mt)
+            .alias("entity_type"),
+            doc.alias("doc_id"),
+            F.when(mt == "Media", F.lit("")).otherwise(doc).alias(
+                "containing_entity"
+            ),
+            F.col("detail"),
+            F.col("offset"),
+            doc.alias("_ord_doc"),
+            F.col("span_idx").alias("_ord_idx"),
+        )
     )
     # one module node per document; order key (-1) sorts before any span
     doc_texts = (
@@ -108,7 +100,7 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         )
     )
 
-    candidates = functions.unionByName(classes).unionByName(media).unionByName(modules)
+    candidates = entities.unionByName(modules)
     deduped = _dedupe_last_wins(candidates)
     return deduped.select(
         "id",

@@ -102,6 +102,53 @@ def entity_neighborhood(edges: DataFrame, entity_id: str) -> DataFrame:
     return out.unionByName(inc)
 
 
+def enumerate_paths(
+    edges: DataFrame,
+    from_id: str,
+    to_id: str | None = None,
+    max_depth: int = 5,
+    preds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Full path enumeration (reference in-memory DFS,
+    knowledge_graph.rs:434-489): all simple paths from `from_id`
+    (optionally ending at `to_id`) up to max_depth edges, as
+    (path: array<string>, depth). Cycle-safe via per-path visited check
+    (array_contains). BFS frontier join per round — exponential in the
+    worst case like the reference; used for G8-style inference and
+    diagnostics, not the scale path (transitive_closure is)."""
+    e = edges
+    if preds:
+        e = e.filter(F.col("pred").isin(*preds))
+    e = e.select("subj", "obj")
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [([from_id], from_id)], "path array<string>, tip string"
+    )
+    results = [frontier.select("path", (F.size("path") - 1).cast("long").alias("depth"))]
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(e, frontier.tip == e.subj)
+            .filter(~F.array_contains(F.col("path"), F.col("obj")))
+            .select(
+                F.concat(F.col("path"), F.array(F.col("obj"))).alias("path"),
+                F.col("obj").alias("tip"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        results.append(
+            nxt.select("path", (F.size("path") - 1).cast("long").alias("depth"))
+        )
+        frontier = nxt
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    if to_id is not None:
+        out = out.filter(F.element_at("path", -1) == to_id)
+    return out
+
+
 def degree(edges: DataFrame) -> DataFrame:
     """Per-node in/out/total degree — hub detection for skew salting."""
     outd = edges.groupBy(F.col("subj").alias("id")).agg(

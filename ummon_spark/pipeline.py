@@ -70,10 +70,16 @@ def materialize(g: Graph, out_dir: str, mode: str = "overwrite") -> None:
     nodes by entity_type, edges by pred — so `pred = 'calls'`-style
     queries become partition-pruned scans. (Iceberg writer when the
     runtime is available; parquet layout is identical otherwise.)
+
+    The pre-write repartition hashes on (partition col, id) — NOT the
+    partition column alone, which would funnel each partition value
+    through a single writer task and serialize the write.
     """
-    g.nodes.repartition(F.col("entity_type")).write.mode(mode).partitionBy(
-        "entity_type"
-    ).parquet(f"{out_dir}/nodes")
-    g.edges.repartition(F.col("pred")).write.mode(mode).partitionBy("pred").parquet(
-        f"{out_dir}/edges"
-    )
+    spark = g.nodes.sparkSession
+    n_out = max(spark.sparkContext.defaultParallelism, 8)
+    g.nodes.repartition(n_out, F.col("entity_type"), F.col("id")).write.mode(
+        mode
+    ).partitionBy("entity_type").parquet(f"{out_dir}/nodes")
+    g.edges.repartition(n_out, F.col("pred"), F.col("id")).write.mode(
+        mode
+    ).partitionBy("pred").parquet(f"{out_dir}/edges")
