@@ -58,18 +58,22 @@ def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:
     spark = get_spark("ummon_bench", cores=cores)
     actual_cores = spark.sparkContext.defaultParallelism
 
-    spans = load_spans(spark, SF_DIR)
+    from ummon_spark.corpus import load_documents, spanify
+
+    # the driver testdata is one small parquet file -> 1 input split; a
+    # real 100 TB table has thousands. Repartition the (tiny) document
+    # table FIRST so spanify/replication/parse all run at full
+    # parallelism — replicating from a single partition would serialize
+    # input prep in one task and poison the scaling measurement.
+    docs = load_documents(spark, SF_DIR).repartition(actual_cores * 4)
+    spans = spanify(docs)
     if replicate > 1:
         reps = spark.range(replicate).select(
             F.col("id").cast("string").alias("_rep")
         )
-        spans = spans.crossJoin(reps).select(
+        spans = spans.crossJoin(F.broadcast(reps)).select(
             F.concat("doc_id", F.lit("#"), "_rep").alias("doc_id"), "spans"
         )
-    # the driver testdata is one small parquet file -> 1 input split; a
-    # real 100 TB table has thousands. Spread by doc_id so every stage
-    # gets full parallelism (matches bucket(doc_id) table layout).
-    spans = spans.repartition(actual_cores * 4, "doc_id")
     n_docs = spans.count()  # warms parquet footers + JVM before timing
 
     out_dir = tempfile.mkdtemp(prefix="ummon_bench_")
@@ -123,12 +127,21 @@ def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:
 
 
 def run_scaling(lo: int = 8, hi: int = 32, replicate: int | None = None) -> dict:
-    """Same job + same input, two parallelism levels, separate JVMs."""
+    """Same job + same input, two parallelism levels, separate JVMs.
+
+    Each leg is pinned to exactly that many CPUs with taskset: local[N]
+    only caps task slots, while JVM service threads (GC, shuffle IO,
+    compression, Python workers) would otherwise borrow the idle cores
+    of the machine and inflate the low-core leg's throughput — a real
+    N-executor cluster has no such spare cores.
+    """
     replicate = (
         replicate
         if replicate is not None
         else int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
     )
+    import shutil as _shutil
+
     out = {}
     for cores in (lo, hi):
         env = dict(
@@ -136,8 +149,11 @@ def run_scaling(lo: int = 8, hi: int = 32, replicate: int | None = None) -> dict
             SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_REPLICATE=str(replicate),
         )
+        cmd = [sys.executable, __file__, "--single"]
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--single"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -162,8 +178,48 @@ def run_scaling(lo: int = 8, hi: int = 32, replicate: int | None = None) -> dict
     }
 
 
+def run_weak_scaling(lo: int = 8, hi: int = 32, base_replicate: int = 10) -> dict:
+    """Weak scaling: input grows with cores (rep ∝ cores) — the pattern
+    a production cluster actually follows. Efficiency = thr_hi/thr_lo
+    (ideal: constant wall-clock, 4x throughput at 4x cores+data)."""
+    import shutil as _shutil
+
+    out = {}
+    for cores in (lo, hi):
+        rep = base_replicate * cores // lo
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            SPARK_GRAFT_REPLICATE=str(rep),
+        )
+        cmd = [sys.executable, __file__, "--single"]
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+        out[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo, thr_hi = out[lo]["value"], out[hi]["value"]
+    return {
+        "metric": "weak_scaling_efficiency",
+        "value": round(thr_hi / thr_lo / (hi / lo), 3),
+        "unit": "ratio",
+        "lo_cores": lo,
+        "hi_cores": hi,
+        "thr_lo": thr_lo,
+        "thr_hi": thr_hi,
+        "build_sec_lo": out[lo]["build_sec"],
+        "build_sec_hi": out[hi]["build_sec"],
+        "triples_lo": out[lo]["n_triples"],
+        "triples_hi": out[hi]["n_triples"],
+        "sf": SF_DIR,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--weak-scaling" in sys.argv:
+        args = [a for a in sys.argv[1:] if a.isdigit()]
+        lo, hi = (int(args[0]), int(args[1])) if len(args) >= 2 else (8, 32)
+        print(json.dumps(run_weak_scaling(lo, hi)))
+    elif "--scaling" in sys.argv:
         args = [a for a in sys.argv[1:] if a.isdigit()]
         lo, hi = (int(args[0]), int(args[1])) if len(args) >= 2 else (8, 32)
         print(json.dumps(run_scaling(lo, hi)))

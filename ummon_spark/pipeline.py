@@ -77,9 +77,29 @@ def materialize(g: Graph, out_dir: str, mode: str = "overwrite") -> None:
     """
     spark = g.nodes.sparkSession
     n_out = max(spark.sparkContext.defaultParallelism, 8)
-    g.nodes.repartition(n_out, F.col("entity_type"), F.col("id")).write.mode(
-        mode
-    ).partitionBy("entity_type").parquet(f"{out_dir}/nodes")
-    g.edges.repartition(n_out, F.col("pred"), F.col("id")).write.mode(
-        mode
-    ).partitionBy("pred").parquet(f"{out_dir}/edges")
+
+    def write_nodes():
+        g.nodes.repartition(n_out, F.col("entity_type"), F.col("id")).write.mode(
+            mode
+        ).partitionBy("entity_type").parquet(f"{out_dir}/nodes")
+
+    def write_edges():
+        g.edges.repartition(n_out, F.col("pred"), F.col("id")).write.mode(
+            mode
+        ).partitionBy("pred").parquet(f"{out_dir}/edges")
+
+    # the edge table is an input of the node table (placeholders), so
+    # computing it first fills the shared caches; the two writes then
+    # run as concurrent Spark jobs (separate driver threads) instead of
+    # serializing the output tail.
+    if g.edges.is_cached:
+        g.edges.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            futs = [pool.submit(write_edges), pool.submit(write_nodes)]
+            for f in futs:
+                f.result()
+    else:
+        write_nodes()
+        write_edges()
