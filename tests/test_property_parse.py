@@ -1,0 +1,95 @@
+"""Property-based tests (Hypothesis) for the parse stage.
+
+The BASELINE per-row invariant: the parse stage is a pure,
+order-preserving function of the spans array — span-sequence equality
+of (kind, text, media_ref, order) must hold through explode, and the
+two parser implementations must agree on arbitrary inputs, including
+adversarial text (parens, dots, unicode, empties).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ummon_spark.operators.parse import (
+    _parse_batch,
+    explode_spans,
+    parse_mentions,
+)
+from ummon_spark.schemas import DOCUMENTS
+
+KINDS = ("def", "class", "call", "import", "doc", "text", "image", "audio", "video")
+
+token = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@st.composite
+def span(draw, offset):
+    kind = draw(st.sampled_from(KINDS))
+    if kind in ("image", "audio", "video"):
+        return (kind, "", f"{kind[:3]}_{draw(token)}", offset)
+    if kind == "def" or kind == "class":
+        name = draw(token)
+        inner = draw(token)
+        return (kind, f"{name}({inner})", "", offset)
+    if kind == "call":
+        parts = draw(st.lists(token, min_size=1, max_size=3))
+        return (kind, ".".join(parts), "", offset)
+    if kind == "import":
+        return (kind, f"lib.{draw(token)}", "", offset)
+    return (kind, draw(token), "", offset)
+
+
+@st.composite
+def document(draw, idx):
+    n = draw(st.integers(min_value=0, max_value=12))
+    spans = [draw(span(i)) for i in range(n)]
+    return (f"doc_{idx}", spans)
+
+
+docs_strategy = st.lists(st.integers(), min_size=1, max_size=6).flatmap(
+    lambda idxs: st.tuples(*[document(i) for i in range(len(idxs))])
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs=docs_strategy)
+def test_span_sequence_invariant_and_parser_parity(spark, docs):
+    df = spark.createDataFrame(list(docs), schema=DOCUMENTS)
+
+    # 1. explode preserves (kind, text, media_ref, order) exactly
+    flat = explode_spans(df).collect()
+    got = {}
+    for r in flat:
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_idx"], r["kind"], r["text"], r["media_ref"], r["offset"])
+        )
+    for doc_id, spans in docs:
+        rows = sorted(got.get(doc_id, []))
+        want = [
+            (i, k, t, m, o) for i, (k, t, m, o) in enumerate(spans)
+        ]
+        assert rows == want, f"span sequence broken for {doc_id}"
+
+    # 2. codegen parser == pandas parser on arbitrary input
+    fast = sorted(tuple(r) for r in parse_mentions(df).collect())
+    import pandas as pd
+
+    exploded = explode_spans(df).toPandas()
+    ref = _parse_batch(exploded) if len(exploded) else None
+    slow = (
+        sorted(tuple(r) for r in ref.itertuples(index=False)) if ref is not None else []
+    )
+    assert fast == slow

@@ -265,7 +265,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 2""",
        CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [{_STOP_ALL}])) AS BIGINT) AS distinct_stopword_hits
 FROM documents""",
     "dp_token_counts": """SELECT lang, COUNT(*) AS n_docs,
-       SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
        MAX(CAST(len(string_split(text, ' ')) AS BIGINT)) AS max_tokens
 FROM documents GROUP BY lang""",
     "dp_fingerprints": """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
