@@ -147,6 +147,15 @@ def q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_edges(g.edges, canon.mapping)
 
 
+def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.nodes import with_visibility
+
+    g = _graph(spark, sf_dir)
+    return with_visibility(g.nodes).select(
+        "id", "entity_type", "visibility", "is_constructor"
+    )
+
+
 RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
 
 
@@ -212,6 +221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dm_concepts": q_dm_concepts,
     "dm_represented_by": q_dm_represented_by,
     "dm_relates_to": q_dm_relates_to,
+    "kg_visibility": q_visibility,
 }
 
 
@@ -422,4 +432,15 @@ SELECT DISTINCT concat(a.concept, '->', b.concept, '::relates_to') AS id,
        a.concept AS subj, 'relates_to' AS pred, b.concept AS obj
 FROM anchors a JOIN rwalk w ON w.root = a.id
 JOIN anchors b ON b.id = w.dst AND b.concept <> a.concept""",
+    "kg_visibility": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.entity_type,
+       CASE WHEN starts_with(n.name, '__') THEN 'Private'
+            WHEN starts_with(n.name, '_') THEN 'Protected'
+            ELSE 'Public' END AS visibility,
+       (n.entity_type = 'Function' AND EXISTS (
+          SELECT 1 FROM all_nodes c WHERE c.entity_type = 'Class'
+            AND c.doc_id = n.doc_id AND c.name = n.name)) AS is_constructor
+FROM all_nodes n""",
+    ),
 }

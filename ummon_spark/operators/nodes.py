@@ -124,6 +124,35 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     )
 
 
+def with_visibility(nodes: DataFrame) -> DataFrame:
+    """Visibility by the reference's Python underscore convention
+    (python.rs:205-211): '__'-prefixed -> Private, '_' -> Protected,
+    else Public; is_constructor when a Function shares its name with a
+    same-document Class (java.rs:37-59 constructor-name rule)."""
+    vis = (
+        F.when(F.col("name").startswith("__"), "Private")
+        .when(F.col("name").startswith("_"), "Protected")
+        .otherwise("Public")
+    )
+    classes = nodes.filter(F.col("entity_type") == "Class").select(
+        F.col("doc_id").alias("_cdoc"), F.col("name").alias("_cname")
+    )
+    out = nodes.withColumn("visibility", vis)
+    ctor = (
+        out.filter(F.col("entity_type") == "Function")
+        .join(
+            classes,
+            (F.col("doc_id") == F.col("_cdoc")) & (F.col("name") == F.col("_cname")),
+            "left_semi",
+        )
+        .select(F.col("id").alias("_ctor_id"))
+    )
+    return out.join(ctor, out.id == F.col("_ctor_id"), "left").select(
+        *[F.col(c) for c in out.columns],
+        F.col("_ctor_id").isNotNull().alias("is_constructor"),
+    )
+
+
 def synthesize_placeholders(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Placeholder nodes for edge targets that don't exist.
 
