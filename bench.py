@@ -38,7 +38,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+# default x20 matches the BASELINE.md headline config (2.245M triples):
+# the raw sf0.1 corpus is small enough that fixed stage latency, not
+# compute, dominates a single measurement
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "20"))
 
 
 def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:

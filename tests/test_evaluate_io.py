@@ -1,0 +1,49 @@
+"""Triple P/R evaluation + IO layer tests."""
+
+from __future__ import annotations
+
+from conftest import SF_SMOKE
+
+from ummon_spark.corpus import load_spans
+from ummon_spark.evaluate import triple_pr
+from ummon_spark.io import read_table, table_format, write_table
+from ummon_spark.pipeline import build_graph
+
+
+def test_pr_perfect_against_self(spark):
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=True)
+    report = triple_pr(g.edges, g.edges)
+    assert report.precision == 1.0 and report.recall == 1.0
+    assert report.passes()
+    assert set(report.per_pred) >= {"defines", "calls", "imports", "references", "depicts"}
+
+
+def test_pr_detects_drift(spark):
+    from pyspark.sql import functions as F
+
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=True)
+    # drop all calls edges + inject a bogus one
+    mutated = g.edges.filter(F.col("pred") != "calls").unionByName(
+        spark.createDataFrame(
+            [("x", "a", "bogus", "b", 1.0, None, "x")], g.edges.schema
+        )
+    )
+    report = triple_pr(mutated, g.edges)
+    assert report.recall < 1.0
+    assert report.precision < 1.0
+    assert report.per_pred["calls"]["recall"] == 0.0
+    assert report.per_pred["bogus"]["precision"] == 0.0
+    assert report.per_pred["defines"]["precision"] == 1.0
+
+
+def test_io_fallback_roundtrip(spark, tmp_path):
+    # no Iceberg runtime in this sandbox -> parquet fallback
+    assert table_format(spark) == "parquet"
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=False)
+    target = str(tmp_path / "edges")
+    write_table(g.edges, target, ("pred",))
+    back = read_table(spark, target)
+    assert back.count() == g.edges.count()
+    # partition pruning works on the written layout
+    plan = back.filter(back.pred == "calls")._jdf.queryExecution().executedPlan().toString()
+    assert "calls" in plan

@@ -39,24 +39,33 @@ def transitive_closure(
         .select("root", F.col("obj").alias("dst"))
         .distinct()
         .withColumn("depth", F.lit(1).cast("long"))
+        .persist()
     )
-    reach = frontier.localCheckpoint(eager=True)
-    frontier = reach
+    # each BFS level persists; the visited set is the union of cached
+    # levels, so no level is recomputed and lineage stays one level
+    # deep (persist is cheaper than eager localCheckpoint here — levels
+    # are reused immediately and discarded at the end of the query)
+    pieces = [frontier]
     depth = 1
     while depth < max_depth:
+        visited = pieces[0].select("root", "dst")
+        for p in pieces[1:]:
+            visited = visited.unionByName(p.select("root", "dst"))
         nxt = (
             frontier.join(e, frontier.dst == e.subj)
             .select("root", F.col("obj").alias("dst"))
             .distinct()
             .withColumn("depth", F.lit(depth + 1).cast("long"))
         )
-        new = nxt.join(reach.select("root", "dst"), ["root", "dst"], "left_anti")
-        new = new.localCheckpoint(eager=True)
+        new = nxt.join(visited, ["root", "dst"], "left_anti").persist()
         if new.isEmpty():
             break
-        reach = reach.unionByName(new).localCheckpoint(eager=True)
+        pieces.append(new)
         frontier = new
         depth += 1
+    reach = pieces[0]
+    for p in pieces[1:]:
+        reach = reach.unionByName(p)
     return reach
 
 
