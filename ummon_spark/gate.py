@@ -127,6 +127,22 @@ def q_uql_traversal_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "modules importing functions")
 
 
+def q_uql_select_has(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "select functions where file_path like '1%' and has name")
+
+
+def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.traversal import enumerate_paths
+
+    g = _graph(spark, sf_dir)
+    out = enumerate_paths(g.edges, "7", None, 2, ("defines", "calls"))
+    return out.select(
+        F.concat_ws("->", "path").alias("path_str"), "depth"
+    )
+
+
 def q_link_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linking import link_keys
 
@@ -214,6 +230,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uql_traversal_self": q_uql_traversal_self,
     "uql_traversal_cond": q_uql_traversal_cond,
     "uql_traversal_imports": q_uql_traversal_imports,
+    "uql_select_has": q_uql_select_has,
+    "kg_paths": q_paths,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
@@ -342,6 +360,26 @@ FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
   SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
   WHERE e.subj = n.id AND e.pred = 'imports' AND t.entity_type = 'Function')""",
     ),
+    "uql_select_has": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Function' AND (name IS NOT NULL AND name <> '') "
+        "AND doc_id ILIKE '1%'",
+    ),
+    # Q6 path enumeration: all simple paths from module '7' over
+    # defines/calls, <= 2 hops, as '->'-joined strings
+    "kg_paths": "WITH RECURSIVE "
+    + oracle.GRAPH_CTES.lstrip()
+    + """,
+pwalk(path_str, visited, tip, depth) AS (
+  SELECT '7', '|7|', '7', CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT w.path_str || '->' || e.obj, w.visited || e.obj || '|', e.obj, w.depth + 1
+  FROM pwalk w JOIN edges e ON e.subj = w.tip
+    AND e.pred IN ('defines', 'calls')
+  WHERE w.depth < 2 AND NOT contains(w.visited, '|' || e.obj || '|')
+)
+SELECT path_str, depth FROM pwalk""",
     # --- linking + canonicalization ---------------------------------------
     "kg_link_keys": oracle.q(oracle.CANON_CTES, "SELECT id, key FROM link_keys"),
     "kg_canonical_map": oracle.q(
