@@ -127,6 +127,10 @@ def q_uql_traversal_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "modules importing functions")
 
 
+def q_uql_traversal_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "modules containing classes")
+
+
 def q_uql_select_has(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "select functions where file_path like '1%' and has name")
 
@@ -231,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uql_traversal_cond": q_uql_traversal_cond,
     "uql_traversal_imports": q_uql_traversal_imports,
     "uql_select_has": q_uql_select_has,
+    "uql_traversal_contains": q_uql_traversal_contains,
     "kg_paths": q_paths,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
@@ -359,6 +364,14 @@ FROM all_nodes n WHERE n.entity_type = 'Function' AND EXISTS (
 FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
   SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
   WHERE e.subj = n.id AND e.pred = 'imports' AND t.entity_type = 'Function')""",
+    ),
+    "uql_traversal_contains": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
+  SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
+  WHERE e.subj = n.id AND e.pred IN ('contains', 'defines')
+    AND t.entity_type = 'Class')""",
     ),
     "uql_select_has": oracle.q(
         oracle.GRAPH_CTES,

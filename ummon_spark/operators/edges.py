@@ -71,19 +71,14 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
     ).select("e.subj", "e.pred", "e.obj", "doc_id", "span_idx")
 
 
-def build_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
-    """Candidates -> checked, deduplicated edge table.
-
-    Two shuffles: the source-exists semi-join (on subj) and the id
-    dedupe window. At 100 TB the subj key space is doc-scoped (no hub
-    skew on the join side); AQE skew-join covers residual hot keys.
+def checked_candidates(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Candidates that pass the source-exists check, split by subject
+    shape: a module subject (subj == doc_id) always exists (one module
+    node per document); only "{doc}::{name}" subjects (calls/inherits)
+    can dangle, and those can only match Function ids — so the join
+    probes the Function slice of the node table, not the whole graph.
     """
     cands = candidate_edges(mentions)
-    # source-exists check, split by subject shape: a module subject
-    # (subj == doc_id) always exists (one module node per document);
-    # only "{doc}::{name}" subjects (calls/inherits) can dangle, and
-    # those can only match Function ids — so the join probes the
-    # Function slice of the node table, not the whole graph.
     module_cands = cands.filter(F.col("subj") == F.col("doc_id"))
     fn_cands = cands.filter(F.col("subj") != F.col("doc_id")).join(
         nodes.filter(F.col("entity_type") == "Function").select(
@@ -92,7 +87,20 @@ def build_edges(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
         "subj",
         "left_semi",
     )
-    checked = module_cands.unionByName(fn_cands)
+    return module_cands.unionByName(fn_cands)
+
+
+def build_edges(
+    mentions: DataFrame, nodes: DataFrame, checked: DataFrame | None = None
+) -> DataFrame:
+    """Candidates -> checked, deduplicated edge table.
+
+    Two shuffles: the source-exists semi-join (on subj) and the id
+    dedupe window. At 100 TB the subj key space is doc-scoped (no hub
+    skew on the join side); AQE skew-join covers residual hot keys.
+    """
+    if checked is None:
+        checked = checked_candidates(mentions, nodes)
     w = Window.partitionBy("id").orderBy("doc_id", "span_idx")
     return (
         checked.withColumn(

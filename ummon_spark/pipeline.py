@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .operators.edges import build_edges
+from .operators.edges import build_edges, checked_candidates
 from .operators.nodes import build_nodes, synthesize_placeholders
 from .operators.parse import parse_mentions, parse_mentions_pandas
 
@@ -46,10 +46,16 @@ def build_graph(
     base_nodes = build_nodes(mentions, spans_df)
     if persist:
         base_nodes = base_nodes.persist()
-    edges = build_edges(mentions, base_nodes)
+    checked = checked_candidates(mentions, base_nodes)
+    if persist:
+        checked = checked.persist()
+    edges = build_edges(mentions, base_nodes, checked=checked)
     if persist:
         edges = edges.persist()
-    placeholders = synthesize_placeholders(edges, base_nodes)
+    # placeholders derive from the CHECKED candidates: the edge-id
+    # dedupe never changes the obj set, so this branch runs parallel to
+    # the dedupe window instead of behind it (shorter critical path)
+    placeholders = synthesize_placeholders(checked, base_nodes)
     nodes = base_nodes.unionByName(placeholders)
     return Graph(nodes=nodes, edges=edges, mentions=mentions)
 

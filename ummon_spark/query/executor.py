@@ -59,6 +59,11 @@ ALLOWED_ATTRS = {
 
 BOTH_DIRECTION_RELS = {"relates_to"}  # + Other(...), db_executor.rs:75-77
 
+# The reference's Contains covers module->member containment; our edge
+# vocabulary (BASELINE) materializes that containment as `defines`, so
+# the `contains/containing` keywords resolve to both predicates.
+REL_ALIASES = {"contains": ("contains", "defines")}
+
 MAX_DEPTH = 10
 
 
@@ -121,7 +126,8 @@ def execute_select(nodes: DataFrame, q: SelectQuery) -> DataFrame:
 
 def execute_traversal(nodes: DataFrame, edges: DataFrame, q: TraversalQuery) -> DataFrame:
     sources = nodes.filter(F.col("entity_type") == q.source_type)
-    e = edges.filter(F.col("pred") == q.relationship).select("subj", "obj")
+    preds = REL_ALIASES.get(q.relationship, (q.relationship,))
+    e = edges.filter(F.col("pred").isin(*preds)).select("subj", "obj")
     if q.relationship in BOTH_DIRECTION_RELS:
         e = e.unionByName(
             e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
