@@ -46,16 +46,13 @@ def build_graph(
     base_nodes = build_nodes(mentions, spans_df)
     if persist:
         base_nodes = base_nodes.persist()
-    checked = checked_candidates(mentions, base_nodes)
-    if persist:
-        checked = checked.persist()
-    edges = build_edges(mentions, base_nodes, checked=checked)
+    edges = build_edges(mentions, base_nodes)
     if persist:
         edges = edges.persist()
-    # placeholders derive from the CHECKED candidates: the edge-id
-    # dedupe never changes the obj set, so this branch runs parallel to
-    # the dedupe window instead of behind it (shorter critical path)
-    placeholders = synthesize_placeholders(checked, base_nodes)
+    # placeholders read the persisted edge table (the obj set is what
+    # matters; deriving it from pre-dedupe candidates instead was
+    # measured slower — the recompute outweighs the branch parallelism)
+    placeholders = synthesize_placeholders(edges, base_nodes)
     nodes = base_nodes.unionByName(placeholders)
     return Graph(nodes=nodes, edges=edges, mentions=mentions)
 
