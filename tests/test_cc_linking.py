@@ -143,3 +143,33 @@ def test_canonicalize_nodes_keeps_representative(canon_graph):
     assert "hash.slow" in ids
     assert "lib.slow" not in ids and "media::img_slow" not in ids
     assert "1::slow" in ids and "2::slow" in ids  # doc-scoped survive
+
+
+# --- fuzzy linking (MinHash-LSH blocking + batched scorer) ------------------
+
+
+def test_fuzzy_link_pairs_finds_near_miss_aliases(spark):
+    from ummon_spark.operators.linking import fuzzy_link_pairs, score_link_pairs
+
+    keys = spark.createDataFrame(
+        [("a", "authentication"), ("b", "authentification"), ("c", "zebra"),
+         ("d", "authentication")],
+        "id string, key string",
+    )
+    pairs = {(r["u"], r["v"]): r["score"] for r in fuzzy_link_pairs(keys, 0.5).collect()}
+    # near-miss aliases pair up with a high trigram score
+    assert ("authentication", "authentification") in pairs
+    assert pairs[("authentication", "authentification")] > 0.5
+    # unrelated keys never pair
+    assert not any("zebra" in p for p in pairs)
+
+
+def test_score_link_pairs_batched(spark):
+    from ummon_spark.operators.linking import score_link_pairs
+
+    pairs = spark.createDataFrame(
+        [("abcdef", "abcdef"), ("abcdef", "zzzzzz")], "u string, v string"
+    )
+    scores = {(r["u"], r["v"]): r["score"] for r in score_link_pairs(pairs).collect()}
+    assert scores[("abcdef", "abcdef")] == 1.0
+    assert scores[("abcdef", "zzzzzz")] == 0.0

@@ -71,11 +71,11 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return doc_tokens(documents).groupBy("doc_id").agg(*minhash_agg_columns())
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
+def lsh_candidates(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Unordered candidate pairs (a < b) sharing >= 1 LSH band."""
-    banded = signatures.select("doc_id", *band_columns())
+    banded = signatures.select("doc_id", *band_columns(n_bands))
     pairs = None
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         left = banded.select(
             F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk")
         )

@@ -42,11 +42,13 @@ def minhash_agg_columns() -> list[Column]:
     ]
 
 
-def band_columns() -> list[Column]:
-    """LSH band hashes over an existing mh0..mh15 signature row."""
-    rows = N_MINHASH // N_BANDS
+def band_columns(n_bands: int = N_BANDS) -> list[Column]:
+    """LSH band hashes over an existing mh0..mh15 signature row.
+    More bands with fewer rows each = more permissive candidate
+    recall (band match prob = jaccard^rows_per_band)."""
+    rows = N_MINHASH // n_bands
     out = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"mh{b * rows + i}").cast("string") for i in range(rows)]
         out.append(F.md5(F.concat_ws(",", *cols)).alias(f"band{b}"))
     return out

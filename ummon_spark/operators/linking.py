@@ -68,6 +68,63 @@ def link_pairs(keys: DataFrame) -> DataFrame:
     )
 
 
+def fuzzy_link_pairs(keys: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate blocking over alias KEYS for near-miss
+    aliases (typos, morphological variants), scored by the batched
+    trigram scorer and thresholded. Output (u, v, score) — feed the
+    (u, v) pairs into connected_components alongside the exact pairs.
+
+    Scale shape: signatures are one groupBy over exploded key trigrams;
+    banding joins are md5-uniform; the scorer is an Arrow-batched
+    mapInPandas stage (the north_star's entity-link scoring stage) —
+    at production it swaps for a model endpoint with the same batch
+    contract (llm.batch_score handles retries).
+    """
+    from ..datapipe.dedup import lsh_candidates, minhash_signatures
+
+    distinct_keys = keys.select(F.col("key")).distinct()
+    # reuse the document MinHash machinery: key "text" = its char trigrams
+    trigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length("key") - 3, F.lit(0))),
+        lambda i: F.col("key").substr(i + F.lit(1), F.lit(3)),
+    )
+    docs_like = distinct_keys.select(
+        F.col("key").alias("doc_id"),
+        F.concat_ws(" ", trigrams).alias("text"),
+    )
+    sigs = minhash_signatures(docs_like)
+    # 8 bands x 2 rows: permissive blocking (p_match ≈ 1-(1-j^2)^8, so
+    # ~97% recall at trigram-jaccard 0.6) — the scorer filters precision
+    cands = lsh_candidates(sigs, n_bands=8).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    scored = score_link_pairs(cands)
+    return scored.filter(F.col("score") >= threshold)
+
+
+def score_link_pairs(pairs: DataFrame) -> DataFrame:
+    """Batched entity-link scoring stage: deterministic featurized
+    score (character-trigram Jaccard of the two keys) computed in an
+    Arrow-vectorized batch — the stand-in for an LLM/model scorer with
+    the identical (pandas batch in -> pandas batch out) contract."""
+    import pandas as pd
+
+    from ..llm import batch_score
+
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        def tri(s: str) -> set:
+            s = str(s)
+            return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+        scores = []
+        for u, v in zip(pdf["u"], pdf["v"]):
+            a, b = tri(u), tri(v)
+            scores.append(len(a & b) / len(a | b) if a | b else 1.0)
+        return pd.DataFrame({"u": pdf["u"], "v": pdf["v"], "score": scores})
+
+    return batch_score(pairs.select("u", "v"), scorer, "u string, v string, score double")
+
+
 @dataclass
 class Canonicalization:
     mapping: DataFrame  # (id, canonical_id) for linkable nodes
