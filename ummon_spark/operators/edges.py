@@ -25,7 +25,7 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -101,20 +101,21 @@ def build_edges(
     """
     if checked is None:
         checked = checked_candidates(mentions, nodes)
-    w = Window.partitionBy("id").orderBy("doc_id", "span_idx")
-    return (
-        checked.withColumn(
-            "id", F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred")
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "id",
-            "subj",
-            "pred",
-            "obj",
-            F.lit(1.0).alias("weight"),
-            F.lit(None).cast("map<string,string>").alias("metadata"),
-            F.col("doc_id").alias("src_partition"),
-        )
+    # first-wins by (doc_id, span_idx) via min_by: hash aggregation
+    # (map-side partial, no sort) instead of a row_number window
+    with_id = checked.withColumn(
+        "id", F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred")
+    )
+    ord_key = F.struct(F.col("doc_id"), F.col("span_idx"))
+    agg = with_id.groupBy("id").agg(
+        F.min_by(F.struct("subj", "pred", "obj", "doc_id"), ord_key).alias("_win")
+    )
+    return agg.select(
+        "id",
+        F.col("_win.subj").alias("subj"),
+        F.col("_win.pred").alias("pred"),
+        F.col("_win.obj").alias("obj"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.col("_win.doc_id").alias("src_partition"),
     )

@@ -19,20 +19,23 @@ Reproduces the reference's entity build (SURVEY.md §2.3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _dedupe_last_wins(df: DataFrame) -> DataFrame:
-    """Keep the last candidate per id in (doc_id, span_idx) order."""
-    w = Window.partitionBy("id").orderBy(
-        F.col("_ord_doc").desc(), F.col("_ord_idx").desc()
+    """Keep the last candidate per id in (doc_id, span_idx) order.
+
+    max_by over the order key = hash aggregation (one shuffle, no
+    sort, map-side partial) — cheaper than a row_number window at
+    scale. Ties are impossible: (doc_id, span_idx) is unique per
+    candidate row."""
+    payload = [c for c in df.columns if c not in ("id", "_ord_doc", "_ord_idx")]
+    ord_key = F.struct(F.col("_ord_doc"), F.col("_ord_idx"))
+    agg = df.groupBy("id").agg(
+        F.max_by(F.struct(*payload), ord_key).alias("_win")
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_ord_doc", "_ord_idx")
-    )
+    return agg.select("id", *[F.col(f"_win.{c}").alias(c) for c in payload])
 
 
 def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
