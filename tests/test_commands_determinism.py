@@ -1,0 +1,94 @@
+"""Command-surface tests + determinism-under-repartitioning proofs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from ummon_spark.commands import index, query
+from ummon_spark.corpus import load_spans
+from ummon_spark.operators.cc import connected_components
+from ummon_spark.pipeline import build_graph
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return build_graph(load_spans(spark, SF_SMOKE), persist=True)
+
+
+def test_query_command_text_format(graph):
+    out = query(graph.nodes, graph.edges, "select functions where name like 'k%'")
+    lines = out.splitlines()
+    assert lines, "no output"
+    # "name (id) [path]" lines + limit footer semantics
+    assert all("(" in l and ")" in l for l in lines[:5] if "Limited" not in l)
+    assert "(Limited to 20 results" in out
+
+
+def test_query_command_json_csv(graph):
+    import json
+
+    objs = json.loads(query(graph.nodes, graph.edges, "select modules", fmt="json"))
+    assert all(o["type"] == "Module" for o in objs)
+    csv = query(graph.nodes, graph.edges, "select modules", fmt="csv")
+    assert csv.splitlines()[0].startswith("id,name,type,file_path")
+
+
+def test_query_command_tree(graph):
+    out = query(
+        graph.nodes, graph.edges, "select modules where name = '7'", fmt="tree"
+    )
+    assert out.startswith("7 (Module)")
+    assert "└─ " in out or "├─ " in out
+
+
+def test_query_command_natural(graph):
+    out = query(
+        graph.nodes,
+        graph.edges,
+        "show me all the modules",
+        natural=True,
+        llm=lambda p: "TRANSLATED_QUERY: select modules\nCONFIDENCE: 0.9",
+        fmt="json",
+    )
+    assert '"Module"' in out
+
+
+def test_index_command_materializes(spark, tmp_path, graph):
+    out_dir = str(tmp_path / "g")
+    index(spark, SF_SMOKE, out_dir)
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert edges.count() == graph.edges.count()
+
+
+# --- determinism under repartitioning ---------------------------------------
+
+
+def _flat_sorted(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_graph_stable_under_repartitioning(spark):
+    spans = load_spans(spark, SF_SMOKE)
+    a = build_graph(spans.repartition(3), persist=False)
+    b = build_graph(spans.repartition(17, "doc_id"), persist=False)
+    cols_n = ("id", "name", "entity_type", "doc_id", "containing_entity")
+    cols_e = ("id", "subj", "pred", "obj")
+    assert _flat_sorted(a.nodes, cols_n) == _flat_sorted(b.nodes, cols_n)
+    assert _flat_sorted(a.edges, cols_e) == _flat_sorted(b.edges, cols_e)
+
+
+def test_cc_stable_under_repartitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(80)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(100)]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    a = spark.createDataFrame(pairs, "u string, v string").repartition(2)
+    b = spark.createDataFrame(list(reversed(pairs)), "u string, v string").repartition(13)
+    la = sorted(map(tuple, connected_components(a).labels.collect()))
+    lb = sorted(map(tuple, connected_components(b).labels.collect()))
+    assert la == lb
