@@ -149,13 +149,24 @@ def canonical_mapping(nodes: DataFrame) -> Canonicalization:
     )
 
 
-def canonicalize_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
+MAX_BROADCAST_MAPPING_ROWS = 5_000_000  # ~a few hundred MB of id pairs
+
+
+def canonicalize_edges(
+    edges: DataFrame, mapping: DataFrame, force_broadcast: bool | None = None
+) -> DataFrame:
     """Rewrite subj/obj to canonical ids; merge parallel edges.
 
-    Two broadcast-able joins (the mapping covers only linkable nodes —
-    a small fraction of the graph) + one groupBy on the new triple.
+    The mapping covers only linkable nodes — usually a small fraction
+    of the graph — so the rewrite joins broadcast when the mapping is
+    small enough; beyond MAX_BROADCAST_MAPPING_ROWS the hint is dropped
+    and AQE picks the join strategy (a forced broadcast of a huge
+    mapping would OOM executors at 10^12-doc scale).
     weight = sum of merged weights; id recomputed from the triple.
     """
+    if force_broadcast is None:
+        force_broadcast = mapping.count() <= MAX_BROADCAST_MAPPING_ROWS
+    hint = F.broadcast if force_broadcast else (lambda df: df)
     msub = mapping.select(
         F.col("id").alias("subj"), F.col("canonical_id").alias("_csubj")
     )
@@ -163,8 +174,8 @@ def canonicalize_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
         F.col("id").alias("obj"), F.col("canonical_id").alias("_cobj")
     )
     rewritten = (
-        edges.join(F.broadcast(msub), "subj", "left")
-        .join(F.broadcast(mobj), "obj", "left")
+        edges.join(hint(msub), "subj", "left")
+        .join(hint(mobj), "obj", "left")
         .select(
             F.coalesce("_csubj", F.col("subj")).alias("subj"),
             F.col("pred"),

@@ -81,15 +81,18 @@ def materialize(g: Graph, out_dir: str, mode: str = "overwrite") -> None:
     spark = g.nodes.sparkSession
     n_out = max(spark.sparkContext.defaultParallelism, 8)
 
+    # sortWithinPartitions on the lookup key gives parquet min/max
+    # data skipping for point lookups (who-calls on subj, node by id) —
+    # the flat-file analog of Iceberg sort orders / z-ordering
     def write_nodes():
-        g.nodes.repartition(n_out, F.col("entity_type"), F.col("id")).write.mode(
-            mode
-        ).partitionBy("entity_type").parquet(f"{out_dir}/nodes")
+        g.nodes.repartition(n_out, F.col("entity_type"), F.col("id")).sortWithinPartitions(
+            "id"
+        ).write.mode(mode).partitionBy("entity_type").parquet(f"{out_dir}/nodes")
 
     def write_edges():
-        g.edges.repartition(n_out, F.col("pred"), F.col("id")).write.mode(
-            mode
-        ).partitionBy("pred").parquet(f"{out_dir}/edges")
+        g.edges.repartition(n_out, F.col("pred"), F.col("id")).sortWithinPartitions(
+            "subj"
+        ).write.mode(mode).partitionBy("pred").parquet(f"{out_dir}/edges")
 
     # the edge table is an input of the node table (placeholders), so
     # computing it first fills the shared caches; the two writes then
