@@ -176,6 +176,16 @@ def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linking import canonical_mapping, canonicalize_nodes
+
+    g = _graph(spark, sf_dir)
+    canon = canonical_mapping(g.nodes)
+    return canonicalize_nodes(g.nodes, canon.mapping).select(
+        "id", "name", "entity_type", "doc_id", "containing_entity"
+    )
+
+
 RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
 
 
@@ -240,6 +250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
+    "kg_canonical_nodes": q_canonical_nodes,
     "kg_relevant_files": q_relevant_files,
     "dm_concepts": q_dm_concepts,
     "dm_represented_by": q_dm_represented_by,
@@ -400,6 +411,12 @@ SELECT path_str, depth FROM pwalk""",
     ),
     "kg_canonical_edges": oracle.q(
         oracle.CANON_CTES, "SELECT id, subj, pred, obj, weight FROM canon_edges"
+    ),
+    "kg_canonical_nodes": oracle.q(
+        oracle.CANON_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n LEFT JOIN canon c ON c.id = n.id
+WHERE c.id IS NULL OR c.canonical_id = n.id""",
     ),
     "kg_relevant_files": "WITH RECURSIVE "
     + oracle.GRAPH_CTES.lstrip()

@@ -99,6 +99,15 @@ def q_lsh_topk_cosine(spark, sf_dir):
     return lsh_topk_cosine(_embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.dedup import ngram_jaccard_all_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return ngram_jaccard_all_pairs(docs, 3, 5)
+
+
 def q_cosine_near_dups(spark, sf_dir):
     from .datapipe.similarity import cosine_near_duplicates
 
@@ -119,6 +128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_topk_cosine": q_topk_cosine,
     "dp_lsh_topk_cosine": q_lsh_topk_cosine,
     "dp_cosine_near_dups": q_cosine_near_dups,
+    "dp_ngram_jaccard": q_ngram_jaccard,
 }
 
 
@@ -271,6 +281,23 @@ FROM documents GROUP BY lang""",
     "dp_fingerprints": """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
 FROM documents""",
+    "dp_ngram_jaccard": f"""WITH
+dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 50
+  ) WHERE token <> ''
+),
+pr AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM dt x JOIN dt y ON x.token = y.token AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id)
+SELECT p.a, p.b, p.inter, (sa.sz + sb.sz - p.inter) AS union_size
+FROM pr p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 3""",
     "dp_topk_cosine": f"""WITH {_Q_CTE},
 qq AS (SELECT q AS query_q FROM qv WHERE vec_id = {ANN_QUERY_VEC})
 SELECT vec_id, {_dot_sql('q', 'query_q')} AS dot
