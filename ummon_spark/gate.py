@@ -32,17 +32,19 @@ NEIGHBOR_MEDIA = "media::img_the"  # hub media entity (zipf head token)
 # --- Spark side ------------------------------------------------------------
 
 
-_GRAPH_CACHE: dict[str, object] = {}
+_GRAPH_CACHE: dict[str, tuple] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the persisted graph for a scale-factor dir —
-    the driver runs many gate queries against the same corpus."""
-    key = f"{id(spark)}:{sf_dir}"
-    g = _GRAPH_CACHE.get(key)
-    if g is None:
-        g = build_graph(load_spans(spark, sf_dir), persist=True)
-        _GRAPH_CACHE[key] = g
+    the driver runs many gate queries against the same corpus. The
+    cached entry is only valid for the exact session that built it
+    (identity check, so a recycled session never sees stale frames)."""
+    entry = _GRAPH_CACHE.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    g = build_graph(load_spans(spark, sf_dir), persist=True)
+    _GRAPH_CACHE[sf_dir] = (spark, g)
     return g
 
 
