@@ -173,3 +173,46 @@ def test_score_link_pairs_batched(spark):
     scores = {(r["u"], r["v"]): r["score"] for r in score_link_pairs(pairs).collect()}
     assert scores[("abcdef", "abcdef")] == 1.0
     assert scores[("abcdef", "zzzzzz")] == 0.0
+
+
+def test_canonicalize_nodes_broadcast_guard(spark, canon_graph, monkeypatch):
+    """Above MAX_BROADCAST_MAPPING_ROWS the broadcast hint is dropped
+    (forcing a huge mapping into executors would OOM); results are
+    identical either way."""
+    import ummon_spark.operators.linking as linking
+
+    g, canon = canon_graph
+    hinted = canonicalize_nodes(g.nodes, canon.mapping, force_broadcast=True)
+    monkeypatch.setattr(linking, "MAX_BROADCAST_MAPPING_ROWS", 0)
+    unhinted = canonicalize_nodes(g.nodes, canon.mapping)  # count > 0 -> no hint
+    plan = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan.lower()
+    hinted_plan = hinted._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in hinted_plan.lower()
+    assert sorted(map(tuple, hinted.collect())) == sorted(map(tuple, unhinted.collect()))
+
+
+def test_score_link_pairs_vectorized_matches_trigram_semantics(spark):
+    """Default (JVM expression) path reproduces set-based trigram
+    Jaccard exactly; an injected batch scorer still runs via the Arrow
+    stage with the same contract."""
+    from ummon_spark.operators.linking import score_link_pairs
+
+    def tri(s):
+        return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+    pairs = [("slow", "slows"), ("abc", "xyz"), ("a", "a"), ("hash", "hashing")]
+    df = spark.createDataFrame(pairs, "u string, v string")
+    got = {(r["u"], r["v"]): r["score"] for r in score_link_pairs(df).collect()}
+    for u, v in pairs:
+        a, b = tri(u), tri(v)
+        expected = len(a & b) / len(a | b) if a | b else 1.0
+        assert got[(u, v)] == pytest.approx(expected, abs=1e-12)
+
+    def injected(pdf):
+        pdf = pdf.copy()
+        pdf["score"] = 0.25
+        return pdf
+
+    inj = score_link_pairs(df, scorer=injected).collect()
+    assert all(r["score"] == 0.25 for r in inj)

@@ -126,3 +126,71 @@ def test_multimodal_real_decode_raises(spark):
     media = synthesize_media_table(spark, [("img_a", "image")])
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         decode_media(media, fake=False).collect()
+
+
+def test_ngram_all_pairs_guard_raises(spark):
+    from ummon_spark.datapipe.dedup import ngram_jaccard_all_pairs
+
+    rows = [(i, f"tok{i} shared words") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_all_pairs(df, max_docs=5)
+    # under the cap it still runs
+    assert ngram_jaccard_all_pairs(df, 1, 100, max_docs=6).count() >= 0
+
+
+def test_auto_plane_count_scales_with_corpus():
+    from ummon_spark.datapipe.similarity import auto_plane_count
+
+    assert auto_plane_count(1_000) == 8
+    assert auto_plane_count(1_000_000) == 10
+    assert auto_plane_count(10**9) == 20
+    assert auto_plane_count(10**12) == 30
+    # monotone non-decreasing
+    prev = 0
+    for n in (10**3, 10**6, 10**8, 10**9, 10**11):
+        cur = auto_plane_count(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_banded_near_dups_match_single_bucket(spark, embs):
+    """The banded scale path must find the same verified pairs as the
+    single-bucket path on data where both schemes' recall is total
+    (near-identical vectors agree on every sign bit)."""
+    from ummon_spark.datapipe.similarity import (
+        cosine_near_duplicates,
+        cosine_near_duplicates_banded,
+    )
+
+    base = [0.9, 0.1, 0.8, 0.2, 0.7, 0.3, 0.6, 0.4]
+    rows = [
+        (0, base),
+        (1, [v * 1.01 for v in base]),  # same direction -> same sign bits
+        (2, [-v for v in base]),  # opposite: dot < 0, excluded
+        (3, [0.9, -0.8, 0.7, -0.6, 0.5, -0.4, 0.3, -0.2]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = {(r["a"], r["b"]) for r in cosine_near_duplicates(df, 950, dim=8).collect()}
+    banded = {
+        (r["a"], r["b"])
+        for r in cosine_near_duplicates_banded(
+            df, 950, n_bands=2, bits_per_band=4, dim=8
+        ).collect()
+    }
+    assert (0, 1) in single
+    # banding is strictly more permissive on candidates; the exact
+    # verify stage makes the final sets equal here
+    assert single <= banded
+    assert banded == single
+
+
+def test_lsh_topk_auto_planes(spark, embs):
+    """n_planes=None derives the plane count from the corpus size and
+    still returns k rows ordered by (dot desc, vec_id)."""
+    from ummon_spark.datapipe.similarity import lsh_topk_cosine
+
+    out = lsh_topk_cosine(embs, 0, k=5, n_planes=None).collect()
+    assert len(out) <= 5
+    dots = [(r["dot"], r["vec_id"]) for r in out]
+    assert dots == sorted(dots, key=lambda t: (-t[0], t[1]))

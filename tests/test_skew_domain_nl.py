@@ -85,9 +85,19 @@ def test_stub_concepts_and_merge(spark):
         ],
         "doc_id long, text string",
     )
-    chunks = chunk_documents(docs)
-    names = {r["name"] for r in stub_concepts(chunks).collect()}
+    names = {r["name"] for r in stub_concepts(docs).collect()}
     assert names == {"customer", "window"}  # len>=6 and count>=2
+
+
+def test_stub_concepts_whole_text_not_chunked(spark):
+    # a >10kB doc spans multiple overlapping chunks; the stub must count
+    # over the whole text (one count per occurrence), not double-count
+    # tokens that land in the 500-char overlap or split at boundaries
+    text = " ".join(f"tok{i:06d}" for i in range(2000))  # ~20 kB, all unique
+    text += " conceptword conceptword"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = stub_concepts(docs).collect()
+    assert {r["name"] for r in rows} == {"conceptword"}
 
 
 def test_domain_model_end_to_end(spark):

@@ -61,6 +61,19 @@ def query(
         query_text = translate(query_text, llm).query
 
     result = execute_query(nodes, edges, query_text)
+    if fmt == "text" and limit > 0:
+        # limit pushdown: never collect the full result to the driver —
+        # `select functions` over 10^9 nodes must not OOM here. The
+        # footer's true total comes from a distributed count; only
+        # `limit` rows cross to the driver.
+        total = result.count()
+        rows = result.limit(limit).collect()
+        formatted = format_rows(rows, "text", 0)
+        if total > len(rows):
+            return "{}\n(Limited to {} results, total: {})".format(
+                formatted.rstrip("\n"), limit, total
+            )
+        return formatted
     rows = result.collect()
     if fmt == "tree":
         ids = [r["id"] for r in rows]

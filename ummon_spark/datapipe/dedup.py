@@ -127,13 +127,29 @@ def minhash_near_duplicates(
     return jaccard_pairs(tokens, cands, threshold_num, threshold_den)
 
 
+MAX_ALL_PAIRS_DOCS = 10_000  # ~5*10^7 pairs; beyond this use minhash_near_duplicates
+
+
 def ngram_jaccard_all_pairs(
-    documents: DataFrame, threshold_num: int = 1, threshold_den: int = 2
+    documents: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_docs: int = MAX_ALL_PAIRS_DOCS,
 ) -> DataFrame:
     """Exact all-pairs token Jaccard (quadratic — verification tool and
-    oracle for the LSH path, not the scale path)."""
+    oracle for the LSH path, never the production path).
+
+    Guarded: raises above max_docs distinct documents so the crossJoin
+    can never ship at scale — the scale path is
+    minhash_near_duplicates (bucketed, linear in bucket sizes)."""
     tokens = doc_tokens(documents).persist()
     ids = tokens.select("doc_id").distinct()
+    n_docs = ids.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_all_pairs is quadratic: {n_docs} docs > "
+            f"max_docs={max_docs}; use minhash_near_duplicates instead"
+        )
     pairs = (
         ids.select(F.col("doc_id").alias("a"))
         .crossJoin(ids.select(F.col("doc_id").alias("b")))

@@ -54,10 +54,10 @@ def band_columns(n_bands: int = N_BANDS) -> list[Column]:
     return out
 
 
-def band_sql(prefix: str = "") -> list[str]:
-    rows = N_MINHASH // N_BANDS
+def band_sql(prefix: str = "", n_bands: int = N_BANDS) -> list[str]:
+    rows = N_MINHASH // n_bands
     out = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = " || ',' || ".join(
             f"CAST({prefix}mh{b * rows + i} AS VARCHAR)" for i in range(rows)
         )

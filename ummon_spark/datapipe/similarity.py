@@ -94,6 +94,24 @@ def topk_cosine_float(
     )
 
 
+DEFAULT_N_PLANES = 8
+TARGET_BUCKET_ROWS = 1024
+
+
+def auto_plane_count(n_vectors: int, target_bucket_rows: int = TARGET_BUCKET_ROWS) -> int:
+    """Bits per bucket key, scaled to corpus size: 2^bits buckets keeps
+    the expected bucket occupancy near target_bucket_rows, so the
+    within-bucket candidate join stays bounded as the corpus grows
+    (the fixed-2^8-bucket scheme goes quadratic at 10^9 vectors:
+    ~4M rows/bucket). 10^6 vecs -> 10 bits; 10^9 -> 20 bits; 10^12 ->
+    30 bits."""
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return DEFAULT_N_PLANES
+    return max(DEFAULT_N_PLANES, math.ceil(math.log2(n_vectors / target_bucket_rows)))
+
+
 def plane_weights(dim: int, n_planes: int = 8) -> list[list[int]]:
     """+-1 weight matrix for the pseudo-random hyperplanes, derived
     from md5 parity — the single source of truth shared with the
@@ -110,6 +128,26 @@ def plane_weights(dim: int, n_planes: int = 8) -> list[list[int]]:
     return planes
 
 
+def _sign_bits(planes: list[list[int]]) -> list:
+    """0/1 sign bit per hyperplane for the quantized column `q`."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(v).cast("bigint") for v in row])
+        proj = F.aggregate(
+            F.zip_with(F.col("q"), w, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def _infer_dim(q: DataFrame) -> int:
+    # one driver hop on a 1-row limit — callers that know the dimension
+    # (the gate passes it) skip this entirely
+    return q.select(F.size("q").alias("d")).limit(1).first()["d"]
+
+
 def hyperplane_signs(
     embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
@@ -117,29 +155,58 @@ def hyperplane_signs(
     plane_weights hyperplanes (random-hyperplane LSH for cosine)."""
     q = quantized(embeddings)
     if dim is None:
-        dim = q.select(F.size("q").alias("d")).first()["d"]
-    planes = plane_weights(dim, n_planes)
-    bits = []
-    for p in range(n_planes):
-        w = F.array(*[F.lit(v).cast("bigint") for v in planes[p]])
-        proj = F.aggregate(
-            F.zip_with(F.col("q"), w, lambda x, s: x * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
+        dim = _infer_dim(q)
+    bits = _sign_bits(plane_weights(dim, n_planes))
+    bucket = bits[0] * 1
+    for p in range(1, n_planes):
+        bucket = bucket + bits[p] * (1 << p)
     return q.select("vec_id", "q", bucket.cast("bigint").alias("bucket"))
 
 
+def banded_hyperplane_signs(
+    embeddings: DataFrame,
+    n_bands: int,
+    bits_per_band: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, bucket): minhash-style banding of the hyperplane
+    signature — n_bands independent bucket keys of bits_per_band sign
+    bits each. A pair is a candidate if ANY band bucket matches, so
+    recall stays high while bits_per_band (from auto_plane_count) keeps
+    per-band bucket occupancy bounded as the corpus grows."""
+    q = quantized(embeddings)
+    if dim is None:
+        dim = _infer_dim(q)
+    bits = _sign_bits(plane_weights(dim, n_bands * bits_per_band))
+    band_structs = []
+    for j in range(n_bands):
+        bucket = F.lit(0)
+        for p in range(bits_per_band):
+            bucket = bucket + bits[j * bits_per_band + p] * (1 << p)
+        band_structs.append(
+            F.struct(
+                F.lit(j).alias("band"), bucket.cast("bigint").alias("bucket")
+            )
+        )
+    return q.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
 def lsh_topk_cosine(
-    embeddings: DataFrame, query_vec_id: int, k: int = 10, n_planes: int = 8
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int | None = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket or
-    any 1-bit-flip neighbor bucket (multi-probe)."""
-    signed = hyperplane_signs(embeddings, n_planes).persist()
+    any 1-bit-flip neighbor bucket (multi-probe). n_planes=None scales
+    the bucket count with the corpus (auto_plane_count), keeping the
+    bucket-local scan bounded at 10^9+ vectors."""
+    if n_planes is None:
+        n_planes = auto_plane_count(embeddings.count())
+    signed = hyperplane_signs(embeddings, n_planes, dim=dim).persist()
     qrow = signed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq"), F.col("bucket").alias("qb")
     )
@@ -158,15 +225,42 @@ def lsh_topk_cosine(
     )
 
 
-def cosine_near_duplicates(
-    embeddings: DataFrame, threshold_milli: int = 950, n_planes: int = 8
+def _verify_cosine_pairs(
+    pairs: DataFrame, q: DataFrame, threshold_milli: int
 ) -> DataFrame:
-    """Embedding near-dup pairs: same LSH bucket, quantized cosine
-    >= t = threshold_milli/1000. Condition (dot > 0):
+    """Exact quantized-cosine check for candidate (a, b) pairs.
+    Condition (dot > 0):
       (dot*1.0)*(dot*1.0) >= t*t * ((na2*1.0)*(nb2*1.0))
     evaluated in double with this exact association so the oracle SQL
     reproduces it bit-for-bit. Output ints (a, b, dot, na2, nb2)."""
-    signed = hyperplane_signs(embeddings, n_planes)
+    qa = q.select(F.col("vec_id").alias("a"), F.col("q").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("b"), F.col("q").alias("qb"))
+    joined = pairs.join(qa, "a").join(qb, "b")
+    dot = _dot(F.col("qa"), F.col("qb"))
+    na2 = _dot(F.col("qa"), F.col("qa"))
+    nb2 = _dot(F.col("qb"), F.col("qb"))
+    t2 = (threshold_milli / 1000.0) ** 2
+    d = F.col("dot").cast("double")
+    cond = (F.col("dot") > 0) & (
+        d * d >= F.lit(t2) * (F.col("na2").cast("double") * F.col("nb2").cast("double"))
+    )
+    return joined.select(
+        "a", "b", dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2")
+    ).filter(cond)
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold_milli: int = 950,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: same LSH bucket, quantized cosine
+    >= threshold_milli/1000 (see _verify_cosine_pairs for the exact
+    float condition). Single-bucket scheme — the gate/oracle path.
+    For corpora where 2^n_planes buckets would go quadratic, use
+    cosine_near_duplicates_banded (bits scale with corpus size)."""
+    signed = hyperplane_signs(embeddings, n_planes, dim=dim)
     left = signed.select(
         F.col("vec_id").alias("a"), F.col("q").alias("qa"), "bucket"
     )
@@ -185,3 +279,37 @@ def cosine_near_duplicates(
     return pairs.select(
         "a", "b", dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2")
     ).filter(cond)
+
+
+def cosine_near_duplicates_banded(
+    embeddings: DataFrame,
+    threshold_milli: int = 950,
+    n_bands: int = 4,
+    bits_per_band: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """The 100 TB-scale embedding near-dup path: minhash-style banding
+    of the hyperplane signature. bits_per_band defaults to
+    auto_plane_count(n_vectors) so per-band bucket occupancy stays
+    ~TARGET_BUCKET_ROWS no matter the corpus size; a pair is a
+    candidate if any of n_bands band keys matches, which keeps recall
+    high where a single wide bucket key would shatter true pairs.
+
+    Bucket math (BENCH.md): at 10^9 vectors bits_per_band=20 ->
+    ~10^3 rows/band-bucket -> ~5*10^5 within-bucket pairs per bucket,
+    linear in corpus at fixed occupancy; the exact-cosine verify then
+    filters candidates. P(candidate | cosine=c) = 1-(1-(1-θ/π)^bits)^bands.
+    """
+    q = quantized(embeddings)
+    if bits_per_band is None:
+        bits_per_band = auto_plane_count(embeddings.count())
+    signed = banded_hyperplane_signs(embeddings, n_bands, bits_per_band, dim=dim)
+    left = signed.select(F.col("vec_id").alias("a"), "band", "bucket")
+    right = signed.select(F.col("vec_id").alias("b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_cosine_pairs(cands, q, threshold_milli)

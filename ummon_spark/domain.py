@@ -39,6 +39,12 @@ CONFIDENCE = 0.8
 RELATES_MAX_HOPS = 3
 
 
+def size_gate(documents: DataFrame) -> DataFrame:
+    """Skip docs < 100 B or > 100 kB (index.rs:888-904)."""
+    n = F.length("text")
+    return documents.filter((n >= MIN_DOC_BYTES) & (n <= MAX_DOC_BYTES))
+
+
 def chunk_documents(
     documents: DataFrame,
     window: int = CHUNK_WINDOW,
@@ -52,7 +58,7 @@ def chunk_documents(
     one chunk (domain_extraction.rs:151-181)."""
     step = window - overlap
     n = F.length("text")
-    gated = documents.filter((n >= MIN_DOC_BYTES) & (n <= MAX_DOC_BYTES))
+    gated = size_gate(documents)
     n_chunks = F.when(n <= window, F.lit(1)).otherwise(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int")
     )
@@ -69,14 +75,22 @@ def chunk_documents(
     )
 
 
-def stub_concepts(chunks: DataFrame, min_len: int = 6, min_count: int = 2) -> DataFrame:
-    """Deterministic concept scorer stub: per (doc, chunk), tokens of
-    length >= min_len occurring >= min_count times. Output
-    (doc_id, name). (The LLM-backed scorer plugs in with the same
-    output contract as a mapInPandas batch stage.)"""
-    toks = chunks.select(
-        "doc_id",
-        F.explode(F.split("chunk", " ")).alias("token"),
+def stub_concepts(
+    documents: DataFrame, min_len: int = 6, min_count: int = 2
+) -> DataFrame:
+    """Deterministic concept scorer stub: per size-gated DOCUMENT
+    (un-chunked text), tokens of length >= min_len occurring
+    >= min_count times. Output (doc_id, name).
+
+    Counts over the whole text, not over chunk_documents output —
+    overlapping chunks would double-count tokens in the overlap and
+    split tokens at chunk boundaries. Chunking exists for the
+    LLM-backed scorer (which plugs in with the chunk -> concepts
+    contract via extract_domain_model's `scorer`); the deterministic
+    gate path matches the DuckDB oracle's whole-text tokenization."""
+    toks = size_gate(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("token"),
     ).filter(F.length("token") >= min_len)
     return (
         toks.groupBy("doc_id", "token")
@@ -175,9 +189,14 @@ def relates_to_edges(
 def extract_domain_model(
     documents: DataFrame, nodes: DataFrame, edges: DataFrame, scorer=None
 ) -> tuple[DataFrame, DataFrame]:
-    """Full D1+G7+G8: returns (new_nodes, new_edges)."""
-    chunks = chunk_documents(documents)
-    concepts = (scorer or stub_concepts)(chunks)
+    """Full D1+G7+G8: returns (new_nodes, new_edges). An injected
+    `scorer` (LLM-backed) receives chunked documents; the deterministic
+    stub tokenizes whole gated documents (see stub_concepts)."""
+    concepts = (
+        scorer(chunk_documents(documents))
+        if scorer is not None
+        else stub_concepts(documents)
+    )
     cnodes = concept_nodes(concepts)
     rep = represented_by_edges(concepts, nodes)
     rel = relates_to_edges(rep, edges)

@@ -188,6 +188,20 @@ def q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# permissive gate config: 16 bands x 1 row blocking + low threshold, so
+# the driver corpus (31 distinct keys, max trigram-jaccard 0.25) yields
+# a non-empty result that exercises both the keep and the filter side
+FUZZY_THRESHOLD = 0.2
+FUZZY_N_BANDS = 16
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linking import fuzzy_link_pairs, link_keys
+
+    keys = link_keys(_graph(spark, sf_dir).nodes)
+    return fuzzy_link_pairs(keys, threshold=FUZZY_THRESHOLD, n_bands=FUZZY_N_BANDS)
+
+
 RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
 
 
@@ -201,32 +215,27 @@ def q_relevant_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dm_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .domain import chunk_documents, stub_concepts
+    from .domain import stub_concepts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return stub_concepts(chunk_documents(docs))
+    return stub_concepts(docs)
 
 
 def q_dm_represented_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .domain import chunk_documents, represented_by_edges, stub_concepts
+    from .domain import represented_by_edges, stub_concepts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     g = _graph(spark, sf_dir)
-    rep = represented_by_edges(stub_concepts(chunk_documents(docs)), g.nodes)
+    rep = represented_by_edges(stub_concepts(docs), g.nodes)
     return rep.select("id", "subj", "pred", "obj")
 
 
 def q_dm_relates_to(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .domain import (
-        chunk_documents,
-        relates_to_edges,
-        represented_by_edges,
-        stub_concepts,
-    )
+    from .domain import relates_to_edges, represented_by_edges, stub_concepts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     g = _graph(spark, sf_dir)
-    rep = represented_by_edges(stub_concepts(chunk_documents(docs)), g.nodes)
+    rep = represented_by_edges(stub_concepts(docs), g.nodes)
     return relates_to_edges(rep, g.edges).select("id", "subj", "pred", "obj")
 
 
@@ -253,6 +262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
     "kg_canonical_nodes": q_canonical_nodes,
+    "kg_fuzzy_pairs": q_fuzzy_pairs,
     "kg_relevant_files": q_relevant_files,
     "dm_concepts": q_dm_concepts,
     "dm_represented_by": q_dm_represented_by,
@@ -264,6 +274,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # --- DuckDB oracle side ----------------------------------------------------
 
 _PREDS_SQL = ", ".join(f"'{p}'" for p in TRANS_PREDS)
+
+# trigram set of a string expr — twin of linking._trigram_set
+_TRI = (
+    "list_distinct(list_transform("
+    "generate_series(0, greatest(length({k}) - 3, 0)), "
+    "i -> substr({k}, i + 1, 3)))"
+)
+
+
+def _fuzzy_oracle() -> str:
+    """DuckDB twin of linking.fuzzy_link_pairs over link_keys: distinct
+    keys -> char trigrams -> MinHash sigs -> 8-band LSH candidates ->
+    trigram-Jaccard score >= threshold."""
+    from .datapipe.hashing import N_MINHASH, band_sql, token_hash_sql
+
+    mh_cols = ",\n         ".join(
+        f"MIN({token_hash_sql('token', k)}) AS mh{k}" for k in range(N_MINHASH)
+    )
+    bands = ",\n         ".join(band_sql(n_bands=FUZZY_N_BANDS))
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT x.key AS u, y.key AS v FROM fbands x "
+        f"JOIN fbands y ON x.band{b} = y.band{b} AND x.key < y.key"
+        for b in range(FUZZY_N_BANDS)
+    )
+    tri_u, tri_v = _TRI.format(k="u"), _TRI.format(k="v")
+    return oracle.q(
+        oracle.CANON_CTES
+        + f""",
+fkeys AS (SELECT DISTINCT key FROM link_keys),
+ftoks AS (
+  SELECT DISTINCT key, tok AS token FROM (
+    SELECT key, unnest({_TRI.format(k='key')}) AS tok FROM fkeys
+  ) WHERE tok <> ''
+),
+fsigs AS (
+  SELECT key,
+         {mh_cols}
+  FROM ftoks GROUP BY key
+),
+fbands AS (
+  SELECT key,
+         {bands}
+  FROM fsigs
+),
+fcands AS (
+{cand_union}
+),
+fscored AS (
+  SELECT u, v,
+         CAST(len(list_intersect({tri_u}, {tri_v})) AS DOUBLE)
+           / len(list_distinct(list_concat({tri_u}, {tri_v}))) AS score
+  FROM fcands
+)""",
+        "SELECT u, v, score FROM fscored "
+        f"WHERE score >= CAST({FUZZY_THRESHOLD} AS DOUBLE)",
+    )
 
 
 _DM_CTES = """,
@@ -301,8 +367,8 @@ ORACLES: dict[str, str] = {
     ),
     "kg_who_calls": oracle.q(
         oracle.GRAPH_CTES,
-        "SELECT subj AS caller_id, split_part(subj, '::', 2) AS caller_name, "
-        "obj AS callee_fqn, split_part(obj, '.', 2) AS callee_name "
+        "SELECT subj AS caller_id, string_split(subj, '::')[-1] AS caller_name, "
+        "obj AS callee_fqn, string_split(obj, '.')[-1] AS callee_name "
         "FROM edges WHERE pred = 'calls'",
     ),
     "kg_transitive_depends": "WITH RECURSIVE "
@@ -420,6 +486,7 @@ SELECT path_str, depth FROM pwalk""",
 FROM all_nodes n LEFT JOIN canon c ON c.id = n.id
 WHERE c.id IS NULL OR c.canonical_id = n.id""",
     ),
+    "kg_fuzzy_pairs": _fuzzy_oracle(),
     "kg_relevant_files": "WITH RECURSIVE "
     + oracle.GRAPH_CTES.lstrip()
     + """,

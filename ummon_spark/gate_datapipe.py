@@ -96,7 +96,10 @@ def q_topk_cosine(spark, sf_dir):
 def q_lsh_topk_cosine(spark, sf_dir):
     from .datapipe.similarity import lsh_topk_cosine
 
-    return lsh_topk_cosine(_embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+    # dim passed explicitly: no driver hop to probe the vector width
+    return lsh_topk_cosine(
+        _embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K, n_planes=8, dim=EMB_DIM
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -111,7 +114,23 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_cosine_near_dups(spark, sf_dir):
     from .datapipe.similarity import cosine_near_duplicates
 
-    return cosine_near_duplicates(_embs(spark, sf_dir), COS_THRESH_MILLI)
+    return cosine_near_duplicates(_embs(spark, sf_dir), COS_THRESH_MILLI, dim=EMB_DIM)
+
+
+BANDED_N_BANDS = 4
+BANDED_BITS = 8
+
+
+def q_cosine_near_dups_banded(spark, sf_dir):
+    from .datapipe.similarity import cosine_near_duplicates_banded
+
+    return cosine_near_duplicates_banded(
+        _embs(spark, sf_dir),
+        COS_THRESH_MILLI,
+        n_bands=BANDED_N_BANDS,
+        bits_per_band=BANDED_BITS,
+        dim=EMB_DIM,
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -128,6 +147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_topk_cosine": q_topk_cosine,
     "dp_lsh_topk_cosine": q_lsh_topk_cosine,
     "dp_cosine_near_dups": q_cosine_near_dups,
+    "dp_cosine_near_dups_banded": q_cosine_near_dups_banded,
     "dp_ngram_jaccard": q_ngram_jaccard,
 }
 
@@ -215,21 +235,43 @@ qv AS (
 )"""
 
 
+def _plane_bit_sql(row: list[int], weight: int) -> str:
+    """CASE term: `weight` if the signed projection onto one hyperplane
+    is positive else 0 — the DuckDB twin of similarity._sign_bits."""
+    plus = [str(i + 1) for i, v in enumerate(row) if v == 1]
+    minus = [str(i + 1) for i, v in enumerate(row) if v == -1]
+    proj = (
+        f"(list_sum(list_select(q, [{', '.join(plus)}])) - "
+        f"list_sum(list_select(q, [{', '.join(minus)}])))"
+    )
+    return f"CASE WHEN {proj} > 0 THEN {weight} ELSE 0 END"
+
+
 def _signs_cte() -> str:
     planes = plane_weights(EMB_DIM, 8)
-    terms = []
-    for p, row in enumerate(planes):
-        plus = [str(i + 1) for i, v in enumerate(row) if v == 1]
-        minus = [str(i + 1) for i, v in enumerate(row) if v == -1]
-        proj = (
-            f"(list_sum(list_select(q, [{', '.join(plus)}])) - "
-            f"list_sum(list_select(q, [{', '.join(minus)}])))"
-        )
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
-    bucket = " + ".join(terms)
+    bucket = " + ".join(
+        _plane_bit_sql(row, 1 << p) for p, row in enumerate(planes)
+    )
     return _Q_CTE + f""",
 signs AS (
   SELECT vec_id, q, CAST({bucket} AS BIGINT) AS bucket FROM qv
+)"""
+
+
+def _banded_signs_cte(n_bands: int, bits_per_band: int) -> str:
+    """bsigns: one bucket column per band, each from bits_per_band
+    hyperplane sign bits — twin of similarity.banded_hyperplane_signs."""
+    planes = plane_weights(EMB_DIM, n_bands * bits_per_band)
+    cols = []
+    for j in range(n_bands):
+        bucket = " + ".join(
+            _plane_bit_sql(planes[j * bits_per_band + p], 1 << p)
+            for p in range(bits_per_band)
+        )
+        cols.append(f"CAST({bucket} AS BIGINT) AS bucket{j}")
+    return _Q_CTE + f""",
+bsigns AS (
+  SELECT vec_id, q, {', '.join(cols)} FROM qv
 )"""
 
 
@@ -314,6 +356,29 @@ SELECT a, b, dot, na2, nb2 FROM (
 WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
       >= {_T2} * (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))""",
-    # dp_lsh_topk_cosine: rows-only (approximate recall path; exactness
-    # is pinned by dp_topk_cosine + unit tests comparing recall)
+    # exact oracle for the LSH top-k: same md5-derived plane weights as
+    # literals, same bucket + 1-bit multi-probe candidate set, same
+    # (dot DESC, vec_id) total order
+    "dp_lsh_topk_cosine": f"""WITH {_signs_cte()},
+qrow AS (SELECT q AS qq, bucket AS qb FROM signs WHERE vec_id = {ANN_QUERY_VEC})
+SELECT vec_id, {_dot_sql('q', 'qq')} AS dot
+FROM signs, qrow
+WHERE vec_id <> {ANN_QUERY_VEC}
+  AND list_contains(
+        [qb{''.join(f', xor(qb, {1 << p})' for p in range(8))}], bucket)
+ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
+    "dp_cosine_near_dups_banded": f"""WITH {_banded_signs_cte(BANDED_N_BANDS, BANDED_BITS)},
+bcands AS (
+{chr(10).join(('  UNION' + chr(10) if j else '') + f'  SELECT x.vec_id AS a, y.vec_id AS b FROM bsigns x JOIN bsigns y ON x.bucket{j} = y.bucket{j} AND x.vec_id < y.vec_id' for j in range(BANDED_N_BANDS))}
+)
+SELECT a, b, dot, na2, nb2 FROM (
+  SELECT c.a, c.b,
+         {_dot_sql('x.q', 'y.q')} AS dot,
+         {_dot_sql('x.q', 'x.q')} AS na2,
+         {_dot_sql('y.q', 'y.q')} AS nb2
+  FROM bcands c JOIN qv x ON x.vec_id = c.a JOIN qv y ON y.vec_id = c.b
+)
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {_T2} * (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))""",
 }

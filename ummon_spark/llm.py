@@ -27,6 +27,9 @@ class LLMConfig:
     model: str = "gpt-4o-mini"
     api_key: str = ""
     base_url: str = ""
+    # Provider API-version header value (e.g. the anthropic-version date
+    # string) — deliberately caller-supplied, never hardcoded here.
+    api_version: str = ""
     extra_headers: dict[str, str] = field(default_factory=dict)
 
 
@@ -37,9 +40,10 @@ def shape_request(prompt: str, cfg: LLMConfig) -> tuple[str, dict[str, str], str
         url = (cfg.base_url or "https://api.anthropic.com") + "/v1/messages"
         headers = {
             "x-api-key": cfg.api_key,
-            "anthropic-version": "2023-06-01",
             "content-type": "application/json",
         }
+        if cfg.api_version:
+            headers["anthropic-version"] = cfg.api_version
         body = json.dumps(
             {
                 "model": cfg.model,

@@ -19,8 +19,13 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
   left_semi join against nodes.
 * Missing targets get placeholder nodes (nodes.synthesize_placeholders).
 * Deterministic edge id "{subj}->{obj}::{pred}" (relationship.rs:89-105);
-  duplicate id -> FIRST wins in (doc_id, span_idx) order
-  (RelationshipStore insert-if-absent, relationship.rs:128-156).
+  duplicate id -> FIRST wins in (doc_id, span_idx) order. This is a
+  deliberate deterministic choice, not reference behavior: the
+  reference's add_relationship is a plain HashMap insert (last wins,
+  relationship.rs:128-156), but duplicate ids carry identical
+  (subj, pred, obj, weight) payloads, so the two policies are
+  observably equivalent there — we pin FIRST so the src_partition
+  lineage column is stable under repartitioning.
 """
 
 from __future__ import annotations

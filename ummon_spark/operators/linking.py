@@ -68,7 +68,9 @@ def link_pairs(keys: DataFrame) -> DataFrame:
     )
 
 
-def fuzzy_link_pairs(keys: DataFrame, threshold: float = 0.5) -> DataFrame:
+def fuzzy_link_pairs(
+    keys: DataFrame, threshold: float = 0.5, n_bands: int = 8
+) -> DataFrame:
     """MinHash-LSH candidate blocking over alias KEYS for near-miss
     aliases (typos, morphological variants), scored by the batched
     trigram scorer and thresholded. Output (u, v, score) — feed the
@@ -93,36 +95,49 @@ def fuzzy_link_pairs(keys: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.concat_ws(" ", trigrams).alias("text"),
     )
     sigs = minhash_signatures(docs_like)
-    # 8 bands x 2 rows: permissive blocking (p_match ≈ 1-(1-j^2)^8, so
-    # ~97% recall at trigram-jaccard 0.6) — the scorer filters precision
-    cands = lsh_candidates(sigs, n_bands=8).select(
+    # default 8 bands x 2 rows: p_match ≈ 1-(1-j^2)^8 (~97% recall at
+    # trigram-jaccard 0.6); n_bands=16 (1 row each) is maximally
+    # permissive (1-(1-j)^16) — the scorer filters precision either way
+    cands = lsh_candidates(sigs, n_bands=n_bands).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     )
     scored = score_link_pairs(cands)
     return scored.filter(F.col("score") >= threshold)
 
 
-def score_link_pairs(pairs: DataFrame) -> DataFrame:
-    """Batched entity-link scoring stage: deterministic featurized
-    score (character-trigram Jaccard of the two keys) computed in an
-    Arrow-vectorized batch — the stand-in for an LLM/model scorer with
-    the identical (pandas batch in -> pandas batch out) contract."""
-    import pandas as pd
+def _trigram_set(col):
+    """Distinct character trigrams of a string column, entirely as a
+    Spark SQL expression (codegen, no Python). For len < 3 the single
+    short prefix is the set — same as {s[i:i+3] for i in
+    range(max(len(s)-2, 1))}."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(col) - 3, F.lit(0))),
+            lambda i: col.substr(i + F.lit(1), F.lit(3)),
+        )
+    )
 
-    from ..llm import batch_score
 
-    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-        def tri(s: str) -> set:
-            s = str(s)
-            return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+def score_link_pairs(pairs: DataFrame, scorer=None) -> DataFrame:
+    """Entity-link scoring stage: character-trigram Jaccard of the two
+    keys. Default path is a pure Spark SQL expression
+    (array_intersect/array_union over trigram sets — whole-stage
+    codegen, no per-row Python). An injected `scorer`
+    (pandas batch in -> pandas batch out with columns u, v, score)
+    runs via the Arrow-batched llm.batch_score stage instead — the
+    production contract for an LLM/model scorer."""
+    if scorer is not None:
+        from ..llm import batch_score
 
-        scores = []
-        for u, v in zip(pdf["u"], pdf["v"]):
-            a, b = tri(u), tri(v)
-            scores.append(len(a & b) / len(a | b) if a | b else 1.0)
-        return pd.DataFrame({"u": pdf["u"], "v": pdf["v"], "score": scores})
-
-    return batch_score(pairs.select("u", "v"), scorer, "u string, v string, score double")
+        return batch_score(
+            pairs.select("u", "v"), scorer, "u string, v string, score double"
+        )
+    tu, tv = _trigram_set(F.col("u")), _trigram_set(F.col("v"))
+    union_sz = F.size(F.array_union(tu, tv))
+    score = F.when(union_sz == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(tu, tv)) / union_sz
+    )
+    return pairs.select("u", "v", score.cast("double").alias("score"))
 
 
 @dataclass
@@ -196,11 +211,21 @@ def canonicalize_edges(
     )
 
 
-def canonicalize_nodes(nodes: DataFrame, mapping: DataFrame) -> DataFrame:
+def canonicalize_nodes(
+    nodes: DataFrame, mapping: DataFrame, force_broadcast: bool | None = None
+) -> DataFrame:
     """Keep one node row per canonical id (the representative's row,
-    i.e. the min-id member), non-linkable nodes unchanged."""
+    i.e. the min-id member), non-linkable nodes unchanged.
+
+    Same size-guarded broadcast as canonicalize_edges: above
+    MAX_BROADCAST_MAPPING_ROWS the hint is dropped and AQE picks the
+    strategy — a forced broadcast of a 10^9-row mapping OOMs executors.
+    """
+    if force_broadcast is None:
+        force_broadcast = mapping.count() <= MAX_BROADCAST_MAPPING_ROWS
+    hint = F.broadcast if force_broadcast else (lambda df: df)
     with_canon = nodes.join(
-        F.broadcast(mapping), "id", "left"
+        hint(mapping), "id", "left"
     ).withColumn("canonical_id", F.coalesce("canonical_id", F.col("id")))
     keep = with_canon.filter(F.col("id") == F.col("canonical_id")).drop(
         "canonical_id"

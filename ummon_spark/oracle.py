@@ -52,7 +52,7 @@ mentions AS (
     CASE kind
       WHEN 'def' THEN split_part(text, '(', 1)
       WHEN 'class' THEN split_part(text, '(', 1)
-      WHEN 'call' THEN CASE WHEN contains(text, '.') THEN split_part(text, '.', 2) ELSE text END
+      WHEN 'call' THEN CASE WHEN contains(text, '.') THEN string_split(text, '.')[-1] ELSE text END
       WHEN 'import' THEN text
       WHEN 'image' THEN media_ref END AS name,
     CASE kind
@@ -133,7 +133,10 @@ placeholders AS (
 all_nodes AS (
   SELECT id, name, entity_type, doc_id, containing_entity FROM nodes
   UNION ALL
-  SELECT id, id AS name, 'Function', '', '' FROM placeholders
+  -- placeholder name = last '::' segment of the id, matching
+  -- nodes.synthesize_placeholders (substring_index(id, '::', -1)) and
+  -- the reference's split("::").last()
+  SELECT id, string_split(id, '::')[-1] AS name, 'Function', '', '' FROM placeholders
 )"""
 
 
