@@ -116,3 +116,131 @@ def test_empty_and_invalid_content_robust(spark):
     ]
     g = build_graph(make(spark, rows), persist=False)
     assert g.nodes.filter(F.col("entity_type") == "Module").count() == 3
+
+
+def test_typed_parameter_payload(spark):
+    """python.rs:55-195 shapes: plain, typed, defaulted, typed+default,
+    *args / **kwargs — parsed into the entity.rs:38-46 Parameter struct."""
+    rows = [
+        (
+            "typed.py",
+            [
+                ("def", "f(a, b: int, c=3, d: str = x, *args, **kwargs)", "", 0),
+                ("def", "g()", "", 1),
+            ],
+        )
+    ]
+    g = build_graph(make(spark, rows), persist=False)
+    nodes = {r["id"]: r for r in g.nodes.collect()}
+    params = [tuple(p) for p in nodes["typed.py::f"]["parameters"]]
+    assert params == [
+        ("a", "", ""),
+        ("b", "int", ""),
+        ("c", "", "3"),
+        ("d", "str", "x"),
+        ("args", "", ""),
+        ("kwargs", "", ""),
+    ]
+    assert nodes["typed.py::g"]["parameters"] == []
+    # placeholders carry a NULL payload, not a fake empty one
+    assert nodes["typed.py::f"]["return_type"] == ""
+
+
+def test_contains_edges_class_membership(spark, python_sample):
+    """index.rs:429-457 analog: defs following a class span are that
+    type's members -> contains edges; defs before any class are not."""
+    edges = {
+        (r["subj"], r["obj"])
+        for r in python_sample.edges.filter(F.col("pred") == "contains").collect()
+    }
+    cls = "type::sample.py::MyClass"
+    assert (cls, "sample.py::method_one") in edges
+    assert (cls, "sample.py::_protected_helper") in edges
+    assert (cls, "sample.py::MyClass") in edges  # constructor is a member
+    assert not any(obj == "sample.py::simple_function" for _, obj in edges)
+
+
+def test_uql_classes_containing_functions(spark, python_sample):
+    from ummon_spark.query.executor import execute_query
+
+    out = execute_query(
+        python_sample.nodes, python_sample.edges, "classes containing functions"
+    )
+    assert {r["id"] for r in out.collect()} == {"type::sample.py::MyClass"}
+
+
+def test_per_entity_documentation(spark):
+    """java.rs:790-856 analog: a doc span attaches to the nearest
+    following entity mention; first wins per entity; a trailing doc
+    with no following entity is the module docstring."""
+    rows = [
+        (
+            "d.py",
+            [
+                ("doc", "docs for f", "", 0),
+                ("def", "f()", "", 1),
+                ("doc", "docs for C", "", 2),
+                ("doc", "second doc loses", "", 3),
+                ("class", "C()", "", 4),
+                ("doc", "trailing module doc", "", 5),
+            ],
+        )
+    ]
+    g = build_graph(make(spark, rows), persist=False)
+    docs = {r["id"]: r["documentation"] for r in g.nodes.collect()}
+    assert docs["d.py::f"] == "docs for f"
+    assert docs["type::d.py::C"] == "docs for C"
+    assert docs["d.py"] == "trailing module doc"
+
+
+def test_type_breadth_and_implements(spark):
+    """entity.rs:69-86 breadth + index.rs:410-418 Inherits/Implements
+    rule: Class sources inherit; Interface/Trait/Enum sources implement
+    (both with the unprefixed-source quirk — the edge survives only if
+    a same-named function exists)."""
+    rows = [
+        (
+            "b.py",
+            [
+                ("interface", "Api(Base)", "", 0),
+                ("def", "Api()", "", 1),  # same-named fn keeps the edge
+                ("trait", "Mixin()", "", 2),
+                ("enum", "Color(Enum)", "", 3),
+                ("def", "Color()", "", 4),
+                ("var", "limit=100", "", 5),
+                ("var", "bare", "", 6),
+                ("class", "Impl(Api)", "", 7),
+                ("def", "Impl()", "", 8),
+            ],
+        )
+    ]
+    g = build_graph(make(spark, rows), persist=False)
+    nodes = {r["id"]: r for r in g.nodes.collect()}
+    assert nodes["type::b.py::Api"]["entity_type"] == "Interface"
+    assert nodes["type::b.py::Mixin"]["entity_type"] == "Trait"
+    assert nodes["type::b.py::Color"]["entity_type"] == "Enum"
+    assert nodes["b.py::var::limit"]["entity_type"] == "Variable"
+    assert nodes["b.py::var::limit"]["detail"] == "100"
+    assert nodes["b.py::var::bare"]["detail"] == ""
+    triples = {(r["subj"], r["pred"], r["obj"]) for r in g.edges.collect()}
+    assert ("b.py::Api", "implements", "Base") in triples
+    assert ("b.py::Color", "implements", "Enum") in triples
+    assert ("b.py::Impl", "inherits", "Api") in triples
+    # Mixin() has no supertype and no same-named fn -> no implements edge
+    assert not any(s == "b.py::Mixin" for s, p, o in triples)
+    # variables following a type are its members (field containment)
+    assert ("type::b.py::Color", "contains", "b.py::var::limit") in triples
+
+    from ummon_spark.query.executor import execute_query
+
+    sel = execute_query(g.nodes, g.edges, "select variables")
+    assert {r["id"] for r in sel.collect()} == {
+        "b.py::var::limit",
+        "b.py::var::bare",
+    }
+    sel = execute_query(g.nodes, g.edges, "select enums")
+    assert {r["id"] for r in sel.collect()} == {"type::b.py::Color"}
+    # methods view: every def here follows a class-like span -> member
+    sel = execute_query(g.nodes, g.edges, "select methods")
+    ids = {r["id"] for r in sel.collect()}
+    assert ids == {"b.py::Api", "b.py::Color", "b.py::Impl"}

@@ -122,18 +122,25 @@ def synthesize_rows(n_docs: int, seed: int = 42) -> list[tuple[str, list[tuple]]
             if r < 0.20:
                 params = ",".join(rng.sample(_WORDS, rng.randint(0, 3)))
                 spans.append(("def", f"{w()}({params})", "", offset))
-            elif r < 0.35:
+            elif r < 0.32:
                 sup = w() if rng.random() < 0.5 else ""
                 spans.append(("class", f"{w()}({sup})", "", offset))
-            elif r < 0.55:
+            elif r < 0.38:
+                kind = rng.choice(("interface", "trait", "enum"))
+                sup = w() if rng.random() < 0.5 else ""
+                spans.append((kind, f"{w()}({sup})", "", offset))
+            elif r < 0.44:
+                val = f"={w()}" if rng.random() < 0.5 else ""
+                spans.append(("var", f"{w()}{val}", "", offset))
+            elif r < 0.58:
                 callee = f"{w()}.{w()}" if rng.random() < 0.5 else w()
                 spans.append(("call", callee, "", offset))
-            elif r < 0.65:
+            elif r < 0.66:
                 spans.append(("import", f"lib.{w()}", "", offset))
-            elif r < 0.75:
+            elif r < 0.76:
                 kind = rng.choice(("image", "audio", "video"))
                 spans.append((kind, "", f"{kind[:3]}_{w()}", offset))
-            elif r < 0.80:
+            elif r < 0.81:
                 spans.append(("doc", f"docs about {w()}", "", offset))
             else:
                 spans.append(("text", " ".join(rng.sample(_WORDS, 3)), "", offset))

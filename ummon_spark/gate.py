@@ -44,6 +44,19 @@ def _graph(spark: SparkSession, sf_dir: str):
     if entry is not None and entry[0] is spark:
         return entry[1]
     g = build_graph(load_spans(spark, sf_dir), persist=True)
+    # Truncate lineage on the shared frames: dozens of gate queries
+    # re-derive from nodes/edges, and iterative consumers (relevance
+    # expansion, BFS) otherwise embed the full build plan once per
+    # round per relation — plan strings alone OOM a default-heap
+    # driver. localCheckpoint keeps the persisted partitions and drops
+    # the logical history.
+    from .pipeline import Graph
+
+    g = Graph(
+        nodes=g.nodes.localCheckpoint(eager=False),
+        edges=g.edges.localCheckpoint(eager=False),
+        mentions=g.mentions,
+    )
     _GRAPH_CACHE[sf_dir] = (spark, g)
     return g
 
@@ -133,8 +146,41 @@ def q_uql_traversal_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "modules containing classes")
 
 
+def q_uql_classes_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "classes containing functions")
+
+
+def q_uql_select_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _uql(spark, sf_dir, "select methods where name like 's%'")
+
+
+def q_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _graph(spark, sf_dir)
+        .edges.filter(F.col("pred") == "contains")
+        .select("id", "subj", "obj")
+    )
+
+
 def q_uql_select_has(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "select functions where file_path like '1%' and has name")
+
+
+def q_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return (
+        g.nodes.filter(
+            (F.col("entity_type") == "Function") & (F.col("doc_id") != "")
+        )
+        .select("id", F.posexplode("parameters").alias("param_idx", "p"))
+        .select(
+            "id",
+            F.col("param_idx").cast("long").alias("param_idx"),
+            F.col("p.name").alias("param_name"),
+            F.col("p.type_annotation").alias("type_annotation"),
+            F.col("p.default_value").alias("default_value"),
+        )
+    )
 
 
 def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +303,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uql_traversal_imports": q_uql_traversal_imports,
     "uql_select_has": q_uql_select_has,
     "uql_traversal_contains": q_uql_traversal_contains,
+    "uql_classes_containing": q_uql_classes_containing,
+    "uql_select_methods": q_uql_select_methods,
+    "kg_contains": q_contains,
+    "kg_params": q_params,
     "kg_paths": q_paths,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
@@ -451,6 +501,51 @@ FROM all_nodes n WHERE n.entity_type = 'Module' AND EXISTS (
   SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
   WHERE e.subj = n.id AND e.pred IN ('contains', 'defines')
     AND t.entity_type = 'Class')""",
+    ),
+    "uql_classes_containing": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n WHERE n.entity_type = 'Class' AND EXISTS (
+  SELECT 1 FROM edges e JOIN all_nodes t ON t.id = e.obj
+  WHERE e.subj = n.id AND e.pred IN ('contains', 'defines')
+    AND t.entity_type = 'Function')""",
+    ),
+    "kg_contains": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, subj, obj FROM edges WHERE pred = 'contains'",
+    ),
+    # Method = a Function some type Contains (executor.typed_nodes view)
+    "uql_select_methods": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n WHERE n.entity_type = 'Function' AND n.name ILIKE 's%'
+  AND EXISTS (SELECT 1 FROM edges e WHERE e.pred = 'contains' AND e.obj = n.id)""",
+    ),
+    # typed parameter payload: DuckDB twin of nodes.parse_parameters
+    "kg_params": oracle.q(
+        oracle.NODES_CTES
+        + r""",
+fparams AS (
+  SELECT id,
+         list_filter(list_transform(string_split(detail, ','), x -> trim(x)),
+                     x -> x <> '') AS parts
+  FROM nodes WHERE entity_type = 'Function'
+),
+pidx AS (
+  SELECT id, parts, unnest(generate_series(1, len(parts))) AS i FROM fparams
+),
+pfields AS (
+  SELECT id, CAST(i - 1 AS BIGINT) AS param_idx, parts[i] AS part,
+         trim(split_part(parts[i], '=', 1)) AS name_type
+  FROM pidx
+)""",
+        r"""SELECT id, param_idx,
+       regexp_replace(trim(split_part(name_type, ':', 1)), '^\*+', '') AS param_name,
+       CASE WHEN contains(name_type, ':')
+            THEN trim(string_split(name_type, ':')[-1]) ELSE '' END AS type_annotation,
+       CASE WHEN contains(part, '=')
+            THEN trim(string_split(part, '=')[-1]) ELSE '' END AS default_value
+FROM pfields""",
     ),
     "uql_select_has": oracle.q(
         oracle.GRAPH_CTES,

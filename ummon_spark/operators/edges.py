@@ -4,6 +4,9 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
 
 * Candidate projections per mention type (reference src/commands/index.rs):
     defines    module -> function / class        (Pass-1 containment)
+    contains   "type::{doc}::{Cls}" -> function  (index.rs:429-457 type->
+               method containment; dialect: a def span is a member of
+               the most recent preceding class span in its document)
     calls      "{doc}::{callee_name}" -> fqn     (index.rs:380-398; only
                mentions WITH a dotted FQN — python.rs:787-791)
     references module -> bare callee name        (undotted calls; name
@@ -30,8 +33,28 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def member_context(mentions: DataFrame) -> DataFrame:
+    """Mentions + `_last_cls`: the name of the most recent preceding
+    class-like mention in the same document (NULL if none). This is the
+    dialect's membership rule — a def span following a class span is
+    that type's member (reference type_def.methods, index.rs:429-442).
+
+    One window shuffle partitioned by doc_id (uniform keys: documents
+    are the natural unit of work at 100 TB, no hub skew)."""
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_type = F.col("mention_type").isin("Class", "Interface", "Trait", "Enum")
+    last_cls = F.last(
+        F.when(is_type, F.col("name")), ignorenulls=True
+    ).over(w)
+    return mentions.withColumn("_last_cls", last_cls)
 
 
 def candidate_edges(mentions: DataFrame) -> DataFrame:
@@ -39,7 +62,8 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
 
     Single pass: each mention row emits an array of 0-2 candidate
     structs which is exploded — one scan of the (cached) mentions
-    instead of a 7-branch union re-reading it seven times.
+    instead of a 7-branch union re-reading it seven times. The
+    member_context window adds the class-membership column first.
     """
     doc = F.col("doc_id")
     name = F.col("name")
@@ -53,15 +77,39 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
 
     fn_id = F.concat(doc, F.lit("::"), name)
     cls_id = F.concat(F.lit("type::"), doc, F.lit("::"), name)
+    var_id = F.concat(doc, F.lit("::var::"), name)
+    member_cls_id = F.concat(F.lit("type::"), doc, F.lit("::"), F.col("_last_cls"))
+
+    def member_cands(defines_obj):
+        """defines always; plus class->member containment when a
+        class-like span precedes (index.rs:429-457)."""
+        return F.when(
+            F.col("_last_cls").isNotNull(),
+            F.array(
+                c(doc, "defines", defines_obj),
+                c(member_cls_id, "contains", defines_obj),
+            ),
+        ).otherwise(F.array(c(doc, "defines", defines_obj)))
+
+    # supertype pred by SOURCE kind (index.rs:410-418): only Class (and
+    # Struct) produce Inherits; Interface/Trait/Enum produce Implements.
+    # Both share the unprefixed-source quirk (see module docstring).
+    super_pred = F.when(mt == "Class", F.lit("inherits")).otherwise(
+        F.lit("implements")
+    )
+    type_cands = F.when(
+        detail != "",
+        F.array(
+            c(doc, "defines", cls_id),
+            F.struct(
+                fn_id.alias("subj"), super_pred.alias("pred"), detail.alias("obj")
+            ),
+        ),
+    ).otherwise(F.array(c(doc, "defines", cls_id)))
     cands = (
-        F.when(mt == "Function", F.array(c(doc, "defines", fn_id)))
-        .when(
-            mt == "Class",
-            F.when(
-                detail != "",
-                F.array(c(doc, "defines", cls_id), c(fn_id, "inherits", detail)),
-            ).otherwise(F.array(c(doc, "defines", cls_id))),
-        )
+        F.when(mt == "Function", member_cands(fn_id))
+        .when(mt.isin("Class", "Interface", "Trait", "Enum"), type_cands)
+        .when(mt == "Variable", member_cands(var_id))
         .when(
             mt == "CallSite",
             F.when(detail != "", F.array(c(fn_id, "calls", detail))).otherwise(
@@ -71,7 +119,7 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
         .when(mt == "Import", F.array(c(doc, "imports", name)))
         .when(mt == "Media", F.array(c(doc, "depicts", F.concat(F.lit("media::"), name))))
     )
-    return mentions.select(
+    return member_context(mentions).select(
         "doc_id", "span_idx", F.explode(cands).alias("e")
     ).select("e.subj", "e.pred", "e.obj", "doc_id", "span_idx")
 
@@ -79,13 +127,19 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
 def checked_candidates(mentions: DataFrame, nodes: DataFrame) -> DataFrame:
     """Candidates that pass the source-exists check, split by subject
     shape: a module subject (subj == doc_id) always exists (one module
-    node per document); only "{doc}::{name}" subjects (calls/inherits)
-    can dangle, and those can only match Function ids — so the join
-    probes the Function slice of the node table, not the whole graph.
+    node per document); a "type::" subject (contains edges) provably
+    exists too — it is synthesized from a class mention in the same
+    document, and node dedupe never drops an id. Only "{doc}::{name}"
+    subjects (calls/inherits) can dangle, and those can only match
+    Function ids — so the join probes the Function slice of the node
+    table, not the whole graph.
     """
     cands = candidate_edges(mentions)
-    module_cands = cands.filter(F.col("subj") == F.col("doc_id"))
-    fn_cands = cands.filter(F.col("subj") != F.col("doc_id")).join(
+    provable = (F.col("subj") == F.col("doc_id")) | F.col("subj").startswith(
+        "type::"
+    )
+    module_cands = cands.filter(provable)
+    fn_cands = cands.filter(~provable).join(
         nodes.filter(F.col("entity_type") == "Function").select(
             F.col("id").alias("subj")
         ),

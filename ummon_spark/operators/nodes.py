@@ -12,15 +12,65 @@ Reproduces the reference's entity build (SURVEY.md §2.3):
   last-wins needs an explicit total order: (doc_id, span_idx) — the
   document/span sequence is the ingestion order, stable under
   repartitioning.
-* Documentation: first Doc span of a document attaches to its module
-  node (the reference only extracts docs for Java — java.rs:790-856 —
-  and returns None elsewhere; our Doc spans are the dialect analog).
+* Documentation (java.rs:790-856 doc-above-entity analog): a Doc span
+  attaches to the nearest FOLLOWING entity mention in its document
+  (per-entity docs, P15); a Doc span with no following entity attaches
+  to the module node (module docstring). First wins per target.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+ENTITY_MENTIONS = ("Function", "Class", "Interface", "Trait", "Enum", "Variable")
+
+
+def doc_attachments(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Documentation attachment (java.rs:790-856 analog): each Doc span
+    attaches to the NEAREST FOLLOWING entity mention in its document;
+    a Doc span with no following entity attaches to the module. First
+    doc wins per target (min span_idx).
+
+    Returns (entity_docs: (doc_id, _ent_idx, _edoc),
+             module_docs: (doc_id, _doc_text)).
+
+    The forward-looking window only scans documents that contain at
+    least one Doc span (semi-join first) — corpora without Doc spans
+    skip the per-doc sort entirely."""
+    docs_with_doc = (
+        mentions.filter(F.col("mention_type") == "Doc")
+        .select("doc_id")
+        .distinct()
+    )
+    scoped = mentions.join(docs_with_doc, "doc_id", "left_semi")
+    wfwd = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_ent = F.first(
+        F.when(
+            F.col("mention_type").isin(*ENTITY_MENTIONS), F.col("span_idx")
+        ),
+        ignorenulls=True,
+    ).over(wfwd)
+    doc_rows = scoped.withColumn("_next_ent", next_ent).filter(
+        F.col("mention_type") == "Doc"
+    )
+    entity_docs = (
+        doc_rows.filter(F.col("_next_ent").isNotNull())
+        .groupBy("doc_id", F.col("_next_ent").alias("_ent_idx"))
+        .agg(F.min(F.struct("span_idx", "detail")).alias("_first"))
+        .select("doc_id", "_ent_idx", F.col("_first.detail").alias("_edoc"))
+    )
+    module_docs = (
+        doc_rows.filter(F.col("_next_ent").isNull())
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("span_idx", "detail")).alias("_first"))
+        .select("doc_id", F.col("_first.detail").alias("_doc_text"))
+    )
+    return entity_docs, module_docs
 
 
 def _dedupe_last_wins(df: DataFrame) -> DataFrame:
@@ -36,6 +86,51 @@ def _dedupe_last_wins(df: DataFrame) -> DataFrame:
         F.max_by(F.struct(*payload), ord_key).alias("_win")
     )
     return agg.select("id", *[F.col(f"_win.{c}").alias(c) for c in payload])
+
+
+EMPTY_PARAMS = (
+    "array<struct<name:string,type_annotation:string,default_value:string>>"
+)
+
+
+def parse_parameters(detail):
+    """Raw param string -> array<struct<name,type_annotation,default_value>>,
+    mirroring the reference's typed Parameter payload (entity.rs:38-46;
+    python.rs:55-195 extraction shapes: "a", "a: int", "a=3",
+    "a: int = 3", "*args", "**kwargs"). Pure Spark SQL expressions
+    (split/trim/substring_index) — no Python, stays in codegen.
+
+    Grammar per comma-separated part:
+      default_value = text after the LAST '=' (if any), trimmed
+      name:type     = text before the FIRST '='
+      type_annotation = text after the LAST ':' of the name side
+      name          = name side before the first ':', leading '*'s
+                      stripped ("*args" -> "args", "**kw" -> "kw")
+    """
+    parts = F.filter(
+        F.transform(F.split(detail, ","), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def to_struct(part):
+        name_type = F.trim(F.substring_index(part, "=", 1))
+        default = F.when(
+            part.contains("="), F.trim(F.substring_index(part, "=", -1))
+        ).otherwise(F.lit(""))
+        type_ann = F.when(
+            name_type.contains(":"),
+            F.trim(F.substring_index(name_type, ":", -1)),
+        ).otherwise(F.lit(""))
+        pname = F.regexp_replace(
+            F.trim(F.substring_index(name_type, ":", 1)), r"^\*+", ""
+        )
+        return F.struct(
+            pname.alias("name"),
+            type_ann.alias("type_annotation"),
+            default.alias("default_value"),
+        )
+
+    return F.transform(parts, to_struct)
 
 
 def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
@@ -55,14 +150,21 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     name = F.col("name")
     mt = F.col("mention_type")
 
-    # single pass over (cached) mentions: id/type/containing per row
+    # single pass over (cached) mentions: id/type/containing per row.
+    # Type-kind breadth (entity.rs:69-86): Interface/Trait/Enum share
+    # the Class id namespace ("type::{doc}::{Name}" — index.rs:265);
+    # Variables get "{doc}::var::{name}" mirroring the reference's
+    # field-id shape "{key}::field::{name}" (index.rs:446).
+    type_kinds = ("Class", "Interface", "Trait", "Enum")
     node_id = (
         F.when(mt == "Function", F.concat(doc, F.lit("::"), name))
-        .when(mt == "Class", F.concat(F.lit("type::"), doc, F.lit("::"), name))
+        .when(mt.isin(*type_kinds), F.concat(F.lit("type::"), doc, F.lit("::"), name))
+        .when(mt == "Variable", F.concat(doc, F.lit("::var::"), name))
         .when(mt == "Media", F.concat(F.lit("media::"), name))
     )
+    entity_docs, module_docs = doc_attachments(m)
     entities = (
-        m.filter(mt.isin("Function", "Class", "Media"))
+        m.filter(mt.isin("Function", "Media", "Variable", *type_kinds))
         .select(
             node_id.alias("id"),
             name.alias("name"),
@@ -78,18 +180,24 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             doc.alias("_ord_doc"),
             F.col("span_idx").alias("_ord_idx"),
         )
+        # per-entity documentation: the Doc span immediately preceding
+        # this entity mention (doc_attachments)
+        .join(
+            entity_docs.select(
+                F.col("doc_id").alias("_ddoc"), "_ent_idx", "_edoc"
+            ),
+            (F.col("doc_id") == F.col("_ddoc"))
+            & (F.col("_ord_idx") == F.col("_ent_idx")),
+            "left",
+        )
+        .drop("_ddoc", "_ent_idx")
+        .withColumn("_edoc", F.coalesce(F.col("_edoc"), F.lit("")))
     )
     # one module node per document; order key (-1) sorts before any span
-    doc_texts = (
-        m.filter(F.col("mention_type") == "Doc")
-        .groupBy("doc_id")
-        .agg(F.min(F.struct("span_idx", "detail")).alias("_first"))
-        .select("doc_id", F.col("_first.detail").alias("_doc_text"))
-    )
     modules = (
         documents.select("doc_id")
         .distinct()
-        .join(doc_texts, "doc_id", "left")
+        .join(module_docs, "doc_id", "left")
         .select(
             F.col("doc_id").alias("id"),
             F.col("doc_id").alias("name"),
@@ -100,10 +208,11 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             F.lit(-1).cast("long").alias("offset"),
             F.col("doc_id").alias("_ord_doc"),
             F.lit(-1).cast("long").alias("_ord_idx"),
+            F.lit("").alias("_edoc"),
         )
     )
 
-    candidates = entities.unionByName(modules)
+    candidates = entities.unionByName(modules, allowMissingColumns=False)
     deduped = _dedupe_last_wins(candidates)
     return deduped.select(
         "id",
@@ -112,11 +221,22 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         "doc_id",
         "containing_entity",
         F.when(F.col("entity_type") == "Module", F.col("detail"))
-        .otherwise(F.lit(""))
+        .otherwise(F.col("_edoc"))
         .alias("documentation"),
         F.when(F.col("entity_type") != "Module", F.col("detail"))
         .otherwise(F.lit(""))
         .alias("detail"),
+        # typed payload (entity.rs:209-219): parameters parsed from the
+        # def's paren contents; the dialect has no return annotation, so
+        # return_type is '' (Option::None analog)
+        F.when(
+            F.col("entity_type") == "Function", parse_parameters(F.col("detail"))
+        )
+        .otherwise(F.lit(None).cast(EMPTY_PARAMS))
+        .alias("parameters"),
+        F.when(F.col("entity_type") == "Function", F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("return_type"),
         F.struct(
             F.col("offset").alias("start_offset"),
             F.col("offset").alias("end_offset"),
@@ -177,6 +297,8 @@ def synthesize_placeholders(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         F.lit("").alias("containing_entity"),
         F.lit("").alias("documentation"),
         F.lit("").alias("detail"),
+        F.lit(None).cast(EMPTY_PARAMS).alias("parameters"),
+        F.lit(None).cast("string").alias("return_type"),
         F.lit(None).cast("struct<start_offset:bigint,end_offset:bigint>").alias(
             "location"
         ),

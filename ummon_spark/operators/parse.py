@@ -19,6 +19,12 @@ Two implementations with identical semantics:
 Mention dialect (FIXTURES.md §1):
   def    "name(params)"        -> Function(name, detail=params)
   class  "Name(Super)"         -> Class(name, detail=supertype or '')
+  interface/trait/enum         -> Interface/Trait/Enum, class-shaped
+         "Name(Super)"            (entity.rs:69-86 type breadth; their
+                                  supertype edges are `implements` —
+                                  index.rs:410-418: only Class/Struct
+                                  sources produce Inherits)
+  var    "name[=value]"        -> Variable(name, detail=value or '')
   call   "callee"|"qual.callee"-> CallSite(last-segment name,
                                   detail=fqn iff dotted — the reference
                                   sets FQN only when the call text
@@ -42,6 +48,8 @@ from pyspark.sql import functions as F
 from ..schemas import MENTIONS
 
 _MEDIA = ("image", "audio", "video")
+# class-shaped type kinds -> entity_type (entity.rs:69-86)
+_TYPE_KINDS = {"class": "Class", "interface": "Interface", "trait": "Trait", "enum": "Enum"}
 
 
 def explode_spans(spans_df: DataFrame) -> DataFrame:
@@ -69,27 +77,34 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
     is_media = k.isin(*_MEDIA)
     dotted = text.contains(".")
 
+    paren_like = k.isin("def", *_TYPE_KINDS)
+    mention_type = F.when(k == "def", "Function")
+    for kind, etype in _TYPE_KINDS.items():
+        mention_type = mention_type.when(k == kind, etype)
     mention_type = (
-        F.when(k == "def", "Function")
-        .when(k == "class", "Class")
-        .when(k == "call", "CallSite")
+        mention_type.when(k == "call", "CallSite")
         .when(k == "import", "Import")
+        .when(k == "var", "Variable")
         .when(is_media, "Media")
         .when(k == "doc", "Doc")
     )
     name = (
-        F.when(k.isin("def", "class"), F.substring_index(text, "(", 1))
+        F.when(paren_like, F.substring_index(text, "(", 1))
         .when(k == "call", F.substring_index(text, ".", -1))
         .when(k == "import", text)
+        .when(k == "var", F.substring_index(text, "=", 1))
         .when(is_media, F.col("media_ref"))
         .otherwise(F.lit(""))
     )
     detail = (
-        F.when(
-            k.isin("def", "class"),
-            F.regexp_extract(text, r"\(([^)]*)\)", 1),
-        )
+        F.when(paren_like, F.regexp_extract(text, r"\(([^)]*)\)", 1))
         .when(k == "call", F.when(dotted, text).otherwise(F.lit("")))
+        .when(
+            k == "var",
+            F.when(text.contains("="), F.substring_index(text, "=", -1)).otherwise(
+                F.lit("")
+            ),
+        )
         .when(is_media, F.col("media_ref"))
         .when(k == "doc", text)
         .otherwise(F.lit(""))
@@ -115,7 +130,11 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     text = pdf["text"].fillna("")
     media = pdf["media_ref"].fillna("")
     is_media = k.isin(_MEDIA)
-    keep = k.isin(("def", "class", "call", "import", "doc")) | is_media
+    keep = (
+        k.isin(("def", "call", "import", "var", "doc"))
+        | k.isin(tuple(_TYPE_KINDS))
+        | is_media
+    )
     pdf = pdf[keep].copy()
     if pdf.empty:
         return pd.DataFrame(columns=[f.name for f in MENTIONS.fields])
@@ -126,23 +145,36 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     dotted = text.str.contains(".", regex=False)
 
     mention_type = k.map(
-        {"def": "Function", "class": "Class", "call": "CallSite", "import": "Import", "doc": "Doc"}
+        {
+            "def": "Function",
+            "call": "CallSite",
+            "import": "Import",
+            "var": "Variable",
+            "doc": "Doc",
+            **_TYPE_KINDS,
+        }
     )
     mention_type = mention_type.where(~is_media, "Media")
 
+    paren_like = k.isin(("def",) + tuple(_TYPE_KINDS))
     before_paren = text.str.split("(", n=1).str[0]
     in_paren = text.str.extract(r"\(([^)]*)\)", expand=False).fillna("")
     last_seg = text.str.rsplit(".", n=1).str[-1]
+    before_eq = text.str.split("=", n=1).str[0]
+    after_last_eq = text.str.rsplit("=", n=1).str[-1]
+    has_eq = text.str.contains("=", regex=False)
 
     name = pd.Series("", index=pdf.index, dtype=object)
-    name = name.mask(k.isin(("def", "class")), before_paren)
+    name = name.mask(paren_like, before_paren)
     name = name.mask(k == "call", last_seg)
     name = name.mask(k == "import", text)
+    name = name.mask(k == "var", before_eq)
     name = name.mask(is_media, media)
 
     detail = pd.Series("", index=pdf.index, dtype=object)
-    detail = detail.mask(k.isin(("def", "class")), in_paren)
+    detail = detail.mask(paren_like, in_paren)
     detail = detail.mask((k == "call") & dotted, text)
+    detail = detail.mask((k == "var") & has_eq, after_last_eq)
     detail = detail.mask(is_media, media)
     detail = detail.mask(k == "doc", text)
 

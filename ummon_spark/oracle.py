@@ -68,32 +68,47 @@ mentions AS (
 NODES_CTES = MENTIONS_CTES + """,
 node_cands AS (
   SELECT concat(doc_id, '::', name) AS id, name, 'Function' AS entity_type, doc_id,
-         doc_id AS containing_entity, doc_id AS ord_doc, span_idx AS ord_idx
+         doc_id AS containing_entity, detail, doc_id AS ord_doc, span_idx AS ord_idx
   FROM mentions WHERE mention_type = 'Function'
   UNION ALL
   SELECT concat('type::', doc_id, '::', name), name, 'Class', doc_id, doc_id,
-         doc_id, span_idx
+         detail, doc_id, span_idx
   FROM mentions WHERE mention_type = 'Class'
   UNION ALL
-  SELECT concat('media::', name), name, 'Media', doc_id, '', doc_id, span_idx
+  SELECT concat('media::', name), name, 'Media', doc_id, '', media_ref,
+         doc_id, span_idx
   FROM mentions WHERE mention_type = 'Media'
   UNION ALL
-  SELECT DISTINCT doc_id, doc_id, 'Module', doc_id, '', doc_id, CAST(-1 AS BIGINT)
+  SELECT DISTINCT doc_id, doc_id, 'Module', doc_id, '', '', doc_id,
+         CAST(-1 AS BIGINT)
   FROM toks
 ),
 nodes AS (
-  SELECT id, name, entity_type, doc_id, containing_entity FROM (
+  SELECT id, name, entity_type, doc_id, containing_entity, detail FROM (
     SELECT *, row_number() OVER (
       PARTITION BY id ORDER BY ord_doc DESC, ord_idx DESC) AS rn
     FROM node_cands) WHERE rn = 1
 )"""
 
 # --- edge build (operators/edges.py) --------------------------------------
+# mctx mirrors edges.member_context: the most recent preceding class
+# mention name per mention row (dialect class->member containment)
 EDGES_CTES = NODES_CTES + """,
+mctx AS (
+  SELECT doc_id, span_idx, mention_type, name,
+         last_value(CASE WHEN mention_type = 'Class' THEN name END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY span_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_cls
+  FROM mentions
+),
 edge_cands AS (
   SELECT doc_id AS subj, 'defines' AS pred, concat(doc_id, '::', name) AS obj,
          doc_id, span_idx
   FROM mentions WHERE mention_type = 'Function'
+  UNION ALL
+  SELECT concat('type::', doc_id, '::', last_cls), 'contains',
+         concat(doc_id, '::', name), doc_id, span_idx
+  FROM mctx WHERE mention_type = 'Function' AND last_cls IS NOT NULL
   UNION ALL
   SELECT doc_id, 'defines', concat('type::', doc_id, '::', name), doc_id, span_idx
   FROM mentions WHERE mention_type = 'Class'

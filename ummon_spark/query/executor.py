@@ -117,15 +117,36 @@ def compile_condition(node) -> Column:
     raise QueryExecutionError(f"Unknown condition node {type(node).__name__}")
 
 
-def execute_select(nodes: DataFrame, q: SelectQuery) -> DataFrame:
-    out = nodes.filter(F.col("entity_type") == q.entity_type)
+def typed_nodes(nodes: DataFrame, edges: DataFrame | None, entity_type: str) -> DataFrame:
+    """Nodes of a UQL entity type. `Method` is a dialect view: the
+    reference types methods at parse time (entity.rs Method variant);
+    our dialect types them structurally — a method is a Function that
+    some type Contains (the same membership rule that builds the
+    contains edges), resolved with one left_semi probe of the contains
+    slice. Other unmaterialized types (Struct, Field, ...) are plain
+    filters and return empty, as the reference does with no such
+    entities."""
+    if entity_type == "Method" and edges is not None:
+        members = (
+            edges.filter(F.col("pred") == "contains")
+            .select(F.col("obj").alias("id"))
+            .distinct()
+        )
+        return nodes.filter(F.col("entity_type") == "Function").join(
+            members, "id", "left_semi"
+        )
+    return nodes.filter(F.col("entity_type") == entity_type)
+
+
+def execute_select(nodes: DataFrame, q: SelectQuery, edges: DataFrame | None = None) -> DataFrame:
+    out = typed_nodes(nodes, edges, q.entity_type)
     if q.condition is not None:
         out = out.filter(compile_condition(q.condition))
     return out
 
 
 def execute_traversal(nodes: DataFrame, edges: DataFrame, q: TraversalQuery) -> DataFrame:
-    sources = nodes.filter(F.col("entity_type") == q.source_type)
+    sources = typed_nodes(nodes, edges, q.source_type)
     preds = REL_ALIASES.get(q.relationship, (q.relationship,))
     e = edges.filter(F.col("pred").isin(*preds)).select("subj", "obj")
     if q.relationship in BOTH_DIRECTION_RELS:
@@ -143,7 +164,7 @@ def execute_traversal(nodes: DataFrame, edges: DataFrame, q: TraversalQuery) -> 
     )
     closure = closure.unionByName(self_rows)
 
-    targets = nodes.filter(F.col("entity_type") == q.target_type)
+    targets = typed_nodes(nodes, edges, q.target_type)
     reached = closure.join(
         targets.withColumnRenamed("id", "dst"), "dst", "inner"
     )
@@ -159,7 +180,7 @@ def execute_query(nodes: DataFrame, edges: DataFrame, query: str) -> DataFrame:
     """Parse + execute a UQL query against the graph tables."""
     ast = parse_query(query)
     if isinstance(ast, SelectQuery):
-        return execute_select(nodes, ast)
+        return execute_select(nodes, ast, edges)
     if isinstance(ast, TraversalQuery):
         return execute_traversal(nodes, edges, ast)
     raise QueryParseError(f"Unsupported query {query!r}")
