@@ -211,3 +211,53 @@ def test_format_rows_json():
     assert objs[0] == {"id": "f::a", "name": "a", "type": "Function", "file_path": "f"}
     assert "file_path" not in objs[1]
     assert objs[1]["metadata"] == {"author": "x,y"}
+
+
+# --- Other(x) round-trip (db.rs:1041-1106) ----------------------------------
+
+
+def test_other_type_roundtrip_pure():
+    from ummon_spark.types import (
+        is_custom_pred,
+        parse_entity_type,
+        parse_relationship_type,
+    )
+
+    assert parse_entity_type("Function") == "Function"
+    assert parse_entity_type("Other(CustomType)") == "CustomType"
+    assert parse_entity_type("Widget") == "Widget"  # bare custom name
+    assert parse_relationship_type("calls") == "calls"
+    assert parse_relationship_type("Other(wraps)") == "wraps"
+    assert is_custom_pred("wraps") and not is_custom_pred("calls")
+
+
+def test_other_relationship_traverses_both_directions(spark):
+    """db_executor.rs:77: Other(...) relationships traverse both ways —
+    B -wraps-> A still matches 'A-sources wrapping B-targets'."""
+    from ummon_spark.query.executor import execute_traversal
+    from ummon_spark.query.parser import TraversalQuery
+
+    nodes = spark.createDataFrame(
+        [
+            ("a", "a", "Function", "f", "f", "", ""),
+            ("b", "b", "Class", "f", "f", "", ""),
+        ],
+        "id string, name string, entity_type string, doc_id string, "
+        "containing_entity string, documentation string, detail string",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "b", "wraps", "a", 1.0)],
+        "id string, subj string, pred string, obj string, weight double",
+    )
+    q = TraversalQuery("Function", "Other(wraps)", "Class")
+    out = execute_traversal(nodes, edges, q)
+    assert {r["id"] for r in out.collect()} == {"a"}
+    # custom ENTITY types round-trip through select too
+    from ummon_spark.query.executor import execute_select
+    from ummon_spark.query.parser import SelectQuery
+
+    from pyspark.sql import functions as F
+
+    widget_nodes = nodes.withColumn("entity_type", F.lit("Widget"))
+    sel = execute_select(widget_nodes, SelectQuery("Other(Widget)"))
+    assert sel.count() == 2

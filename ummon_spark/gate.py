@@ -166,6 +166,24 @@ def q_uql_select_has(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "select functions where file_path like '1%' and has name")
 
 
+def q_type_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.nodes import with_type_members
+
+    g = _graph(spark, sf_dir)
+    tm = with_type_members(g.nodes, g.edges)
+    methods = tm.select(
+        "id",
+        F.explode("methods").alias("member_id"),
+        F.lit("method").alias("member_kind"),
+    )
+    fields = tm.select(
+        "id",
+        F.explode("fields").alias("member_id"),
+        F.lit("field").alias("member_kind"),
+    )
+    return methods.unionByName(fields)
+
+
 def q_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     return (
@@ -307,6 +325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uql_select_methods": q_uql_select_methods,
     "kg_contains": q_contains,
     "kg_params": q_params,
+    "kg_type_members": q_type_members,
     "kg_paths": q_paths,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
@@ -520,6 +539,14 @@ FROM all_nodes n WHERE n.entity_type = 'Class' AND EXISTS (
         """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
 FROM all_nodes n WHERE n.entity_type = 'Function' AND n.name ILIKE 's%'
   AND EXISTS (SELECT 1 FROM edges e WHERE e.pred = 'contains' AND e.obj = n.id)""",
+    ),
+    # TypeEntity methods/fields payload: member kind from the pinned id
+    # shape ("::var::" = field)
+    "kg_type_members": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT subj AS id, obj AS member_id,
+       CASE WHEN contains(obj, '::var::') THEN 'field' ELSE 'method' END AS member_kind
+FROM edges WHERE pred = 'contains'""",
     ),
     # typed parameter payload: DuckDB twin of nodes.parse_parameters
     "kg_params": oracle.q(

@@ -36,13 +36,20 @@ def doc_attachments(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
              module_docs: (doc_id, _doc_text)).
 
     The forward-looking window only scans documents that contain at
-    least one Doc span (semi-join first) — corpora without Doc spans
-    skip the per-doc sort entirely."""
-    docs_with_doc = (
-        mentions.filter(F.col("mention_type") == "Doc")
-        .select("doc_id")
-        .distinct()
-    )
+    least one Doc span (semi-join first), and corpora with NO Doc spans
+    at all skip everything via an isEmpty probe — one limit-1 job on
+    the (cached) mentions instead of shuffling every mention row
+    against an empty dimension (AQE empty-propagation still pays the
+    exchange planning; this doesn't)."""
+    doc_mentions = mentions.filter(F.col("mention_type") == "Doc")
+    if doc_mentions.isEmpty():
+        spark = mentions.sparkSession
+        empty_ent = spark.createDataFrame(
+            [], "doc_id string, _ent_idx long, _edoc string"
+        )
+        empty_mod = spark.createDataFrame([], "doc_id string, _doc_text string")
+        return empty_ent, empty_mod
+    docs_with_doc = doc_mentions.select("doc_id").distinct()
     scoped = mentions.join(docs_with_doc, "doc_id", "left_semi")
     wfwd = (
         Window.partitionBy("doc_id")
@@ -244,6 +251,31 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         F.lit(None)
         .cast("map<string,string>")
         .alias("metadata"),
+    )
+
+
+def with_type_members(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """TypeEntity payload (entity.rs:288-296): `methods` and `fields`
+    id lists materialized onto type nodes from their contains edges.
+    Member kind comes from the id shape our synthesis pins
+    ("{doc}::var::{name}" = field, else method) — no join against the
+    node table needed, so this is one groupBy over the contains slice
+    plus one left join onto nodes. Lists are sorted for determinism."""
+    contains = edges.filter(F.col("pred") == "contains")
+    is_field = F.col("obj").contains("::var::")
+    grouped = contains.groupBy(F.col("subj").alias("id")).agg(
+        F.array_sort(
+            F.collect_list(F.when(~is_field, F.col("obj")))
+        ).alias("methods"),
+        F.array_sort(F.collect_list(F.when(is_field, F.col("obj")))).alias(
+            "fields"
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return nodes.join(grouped, "id", "left").select(
+        *[F.col(c) for c in nodes.columns],
+        F.coalesce("methods", empty).alias("methods"),
+        F.coalesce("fields", empty).alias("fields"),
     )
 
 

@@ -57,7 +57,15 @@ ALLOWED_ATTRS = {
     "id": "id",
 }
 
-BOTH_DIRECTION_RELS = {"relates_to"}  # + Other(...), db_executor.rs:75-77
+BOTH_DIRECTION_RELS = {"relates_to"}  # + Other(...) below, db_executor.rs:75-77
+
+
+def _is_both_direction(rel: str) -> bool:
+    """relates_to and every Other(...) custom relationship traverse
+    both directions (db_executor.rs:64-78)."""
+    from ..types import is_custom_pred
+
+    return rel in BOTH_DIRECTION_RELS or is_custom_pred(rel)
 
 # The reference's Contains covers module->member containment; our edge
 # vocabulary (BASELINE) materializes that containment as `defines`, so
@@ -125,7 +133,11 @@ def typed_nodes(nodes: DataFrame, edges: DataFrame | None, entity_type: str) -> 
     contains edges), resolved with one left_semi probe of the contains
     slice. Other unmaterialized types (Struct, Field, ...) are plain
     filters and return empty, as the reference does with no such
-    entities."""
+    entities. "Other(x)" wrappers unwrap to the custom type name
+    (db.rs:1041-1073 round-trip)."""
+    from ..types import parse_entity_type
+
+    entity_type = parse_entity_type(entity_type)
     if entity_type == "Method" and edges is not None:
         members = (
             edges.filter(F.col("pred") == "contains")
@@ -146,10 +158,13 @@ def execute_select(nodes: DataFrame, q: SelectQuery, edges: DataFrame | None = N
 
 
 def execute_traversal(nodes: DataFrame, edges: DataFrame, q: TraversalQuery) -> DataFrame:
+    from ..types import parse_relationship_type
+
     sources = typed_nodes(nodes, edges, q.source_type)
-    preds = REL_ALIASES.get(q.relationship, (q.relationship,))
+    rel = parse_relationship_type(q.relationship)
+    preds = REL_ALIASES.get(rel, (rel,))
     e = edges.filter(F.col("pred").isin(*preds)).select("subj", "obj")
-    if q.relationship in BOTH_DIRECTION_RELS:
+    if _is_both_direction(rel):
         e = e.unionByName(
             e.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
         )

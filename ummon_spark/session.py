@@ -45,10 +45,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode: driver == the only executor, so its heap stands in
+        # for the cluster's AGGREGATE executor memory — scale it with
+        # task slots (1.5 GiB/core, min 16g) exactly as adding executors
+        # adds memory on a real cluster. $SPARK_DRIVER_MEM overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM")
+            or f"{max(16, (cores or 0) * 3 // 2)}g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # NOTE: shuffle spill stays on disk (default spark.local.dir) —
+    # measured: pointing it at tmpfs competes with the JVM heap for the
+    # same RAM at deep replication and stalls the high-core leg.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
