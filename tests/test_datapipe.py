@@ -194,3 +194,66 @@ def test_lsh_topk_auto_planes(spark, embs):
     assert len(out) <= 5
     dots = [(r["dot"], r["vec_id"]) for r in out]
     assert dots == sorted(dots, key=lambda t: (-t[0], t[1]))
+
+
+def test_dedup_survivors_keep_first(spark):
+    from ummon_spark.datapipe.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chain), {4,5}; 3 untouched
+    pairs = spark.createDataFrame(
+        [("0", "1"), ("1", "2"), ("4", "5")], "a string, b string"
+    )
+    got = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
+    assert got == {"0", "3", "4"}
+
+
+def test_bpe_ish_token_counts(spark):
+    from ummon_spark.datapipe.textstats import bpe_ish_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "hello, world! x2")], "doc_id long, text string"
+    )
+    row = bpe_ish_token_counts(docs).collect()[0]
+    # hello , world ! x 2 -> 6 subwords; hello/world/x -> 3 word runs
+    assert row["n_subwords"] == 6
+    assert row["n_word_runs"] == 3
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing invariant: two docs sharing a token run of length
+    >= k + w - 1 (= 6) share at least one selected hash."""
+    from ummon_spark.datapipe.textstats import winnowed_fingerprints
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} four five six seven"),
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in winnowed_fingerprints(docs).collect()}
+    # recompute selected sets driver-side to check overlap
+    def h(s):
+        return int(hashlib.md5(f"{s}|0".encode()).hexdigest()[:8], 16)
+
+    def selected(text, k=3, w=4):
+        toks = text.split(" ")
+        n_sh = max(len(toks) - (k - 1), 1)
+        hs = [h(" ".join(toks[i : i + k])) for i in range(n_sh)]
+        n_w = max(len(hs) - (w - 1), 1)
+        return sorted({min(hs[j : j + w]) for j in range(n_w)})
+
+    s1, s2, s3 = (selected(d) for d in (
+        f"one two {shared} three", f"{shared} four five six seven",
+        "totally different words here now ok"))
+    assert set(s1) & set(s2), "shared run must yield a shared hash"
+    # Spark output matches the driver-side recomputation exactly
+    assert rows["1"]["n_selected"] == len(s1)
+    exp_fp = hashlib.md5(",".join(str(x) for x in s1).encode()).hexdigest()
+    assert rows["1"]["fingerprint"] == exp_fp

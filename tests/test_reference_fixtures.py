@@ -244,3 +244,38 @@ def test_type_breadth_and_implements(spark):
     sel = execute_query(g.nodes, g.edges, "select methods")
     ids = {r["id"] for r in sel.collect()}
     assert ids == {"b.py::Api", "b.py::Color", "b.py::Impl"}
+
+
+def test_struct_constant_field_breadth(spark):
+    """Struct sources inherit (index.rs:410-416 covers Class AND
+    Struct); constants are module-level; member variables surface
+    through the `select fields` structural view."""
+    rows = [
+        (
+            "s.rs",
+            [
+                ("struct", "Point(Shape)", "", 0),
+                ("var", "x=1", "", 1),  # member of Point -> a field
+                ("def", "Point()", "", 2),  # keeps the inherits edge alive
+                ("const", "MAX=10", "", 3),
+            ],
+        )
+    ]
+    g = build_graph(make(spark, rows), persist=False)
+    nodes = {r["id"]: r for r in g.nodes.collect()}
+    assert nodes["type::s.rs::Point"]["entity_type"] == "Struct"
+    assert nodes["s.rs::const::MAX"]["entity_type"] == "Constant"
+    assert nodes["s.rs::const::MAX"]["detail"] == "10"
+    triples = {(r["subj"], r["pred"], r["obj"]) for r in g.edges.collect()}
+    assert ("s.rs::Point", "inherits", "Shape") in triples  # Struct -> Inherits
+    assert ("type::s.rs::Point", "contains", "s.rs::var::x") in triples
+    assert ("s.rs", "defines", "s.rs::const::MAX") in triples
+
+    from ummon_spark.query.executor import execute_query
+
+    fields = execute_query(g.nodes, g.edges, "select fields")
+    assert {r["id"] for r in fields.collect()} == {"s.rs::var::x"}
+    structs = execute_query(g.nodes, g.edges, "select structs")
+    assert {r["id"] for r in structs.collect()} == {"type::s.rs::Point"}
+    consts = execute_query(g.nodes, g.edges, "select constants")
+    assert {r["id"] for r in consts.collect()} == {"s.rs::const::MAX"}

@@ -126,12 +126,13 @@ def synthesize_rows(n_docs: int, seed: int = 42) -> list[tuple[str, list[tuple]]
                 sup = w() if rng.random() < 0.5 else ""
                 spans.append(("class", f"{w()}({sup})", "", offset))
             elif r < 0.38:
-                kind = rng.choice(("interface", "trait", "enum"))
+                kind = rng.choice(("interface", "trait", "enum", "struct"))
                 sup = w() if rng.random() < 0.5 else ""
                 spans.append((kind, f"{w()}({sup})", "", offset))
             elif r < 0.44:
+                kind = rng.choice(("var", "var", "const"))
                 val = f"={w()}" if rng.random() < 0.5 else ""
-                spans.append(("var", f"{w()}{val}", "", offset))
+                spans.append((kind, f"{w()}{val}", "", offset))
             elif r < 0.58:
                 callee = f"{w()}.{w()}" if rng.random() < 0.5 else w()
                 spans.append(("call", callee, "", offset))

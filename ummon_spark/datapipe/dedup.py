@@ -158,6 +158,28 @@ def ngram_jaccard_all_pairs(
     return jaccard_pairs(tokens, pairs, threshold_num, threshold_den)
 
 
+def dedup_survivors(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep-first corpus dedupe: connected components over near-dup
+    pairs (a, b), survivor = the component's min doc_id; docs in no
+    pair survive untouched. This is the end-to-end "drop the
+    duplicates" operator a training-data pipeline runs after any of
+    the pair generators above.
+
+    Scale shape: CC is large-star/small-star (O(log n) rounds over the
+    PAIR graph only — the full corpus joins once, via left_anti)."""
+    from ..operators.cc import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    losers = cc.labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    ).join(losers, "doc_id", "left_anti")
+
+
 def simhashes(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 16-bit sign-sum fingerprints."""
     return (

@@ -87,6 +87,71 @@ def token_counts_by_lang(documents: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the coarse GPT-2-style split. Simple char classes only, so
+# Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_subwords, n_word_runs): token counting under a
+    BPE-ish regex pre-tokenizer, alongside the whitespace counts of
+    quality_stats. Narrow projection, codegen."""
+    subs = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(subs).cast("bigint").alias("n_subwords"),
+        F.size(words).cast("bigint").alias("n_word_runs"),
+    )
+
+
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingle hashes per winnowing window
+
+
+def winnowed_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_selected, fingerprint): winnowing (rolling-hash
+    document fingerprinting, Schleimer et al.): hash every k-token
+    shingle with the md5-derived cross-engine hash, keep the minimum
+    hash of every w-hash window, fingerprint = md5 over the sorted
+    distinct selected hashes. Guarantees any shared run of
+    >= k + w - 1 tokens contributes a shared selected hash — the
+    local-similarity fingerprint the flat bag-of-words one can't give.
+
+    Entirely array expressions per row (no shuffle, no Python)."""
+    from .hashing import token_hash
+
+    toks = _tokens()
+    n = F.size(toks)
+    n_shingles = F.greatest(n - (k - 1), F.lit(1))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_shingles - 1),
+        lambda i: token_hash(shingle(i), 0),
+    )
+    # materialize the hash array per row FIRST — inlining it into every
+    # window's array_min would re-evaluate the shingle hashing per
+    # window (O(n^2) per doc)
+    staged = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), hashes.alias("_h")
+    )
+    n_windows = F.greatest(F.size(F.col("_h")) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.array_min(F.slice(F.col("_h"), j + 1, w)),
+    )
+    selected = F.array_sort(F.array_distinct(mins))
+    canon = F.concat_ws(",", F.transform(selected, lambda x: x.cast("string")))
+    return staged.select(
+        "doc_id",
+        F.size(selected).cast("bigint").alias("n_selected"),
+        F.md5(canon).alias("fingerprint"),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): md5 over the sorted distinct token set —
     an order-insensitive content fingerprint (bag-of-words identity),

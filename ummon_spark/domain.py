@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.traversal import transitive_closure
+from .schemas import LOCATION_DDL
 
 MIN_DOC_BYTES = 100
 MAX_DOC_BYTES = 100_000
@@ -114,9 +115,7 @@ def concept_nodes(concepts: DataFrame) -> DataFrame:
             F.lit("").alias("containing_entity"),
             F.lit("").alias("documentation"),
             F.lit(str(CONFIDENCE)).alias("detail"),
-            F.lit(None)
-            .cast("struct<start_offset:bigint,end_offset:bigint>")
-            .alias("location"),
+            F.lit(None).cast(LOCATION_DDL).alias("location"),
             F.create_map(F.lit("confidence"), F.lit(str(CONFIDENCE))).alias(
                 "metadata"
             ),

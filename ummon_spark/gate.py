@@ -166,6 +166,19 @@ def q_uql_select_has(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uql(spark, sf_dir, "select functions where file_path like '1%' and has name")
 
 
+def q_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.nodes.filter(F.col("doc_id") != "").select(
+        "id",
+        F.col("location.start.line").alias("start_line"),
+        F.col("location.start.column").alias("start_column"),
+        F.col("location.start.offset").alias("start_offset"),
+        F.col("location.end.line").alias("end_line"),
+        F.col("location.end.column").alias("end_column"),
+        F.col("location.end.offset").alias("end_offset"),
+    )
+
+
 def q_type_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.nodes import with_type_members
 
@@ -326,6 +339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_contains": q_contains,
     "kg_params": q_params,
     "kg_type_members": q_type_members,
+    "kg_locations": q_locations,
     "kg_paths": q_paths,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
@@ -539,6 +553,20 @@ FROM all_nodes n WHERE n.entity_type = 'Class' AND EXISTS (
         """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
 FROM all_nodes n WHERE n.entity_type = 'Function' AND n.name ILIKE 's%'
   AND EXISTS (SELECT 1 FROM edges e WHERE e.pred = 'contains' AND e.obj = n.id)""",
+    ),
+    # Location payload (entity.rs:6-23): span-unit positions; the oracle
+    # derives them from the dedupe winner's span index (== offset in the
+    # spanify dialect)
+    "kg_locations": oracle.q(
+        oracle.NODES_CTES,
+        """SELECT id,
+       CAST(1 AS BIGINT) AS start_line,
+       CAST(loc_off + 1 AS BIGINT) AS start_column,
+       CAST(loc_off AS BIGINT) AS start_offset,
+       CAST(1 AS BIGINT) AS end_line,
+       CAST(loc_off + 2 AS BIGINT) AS end_column,
+       CAST(loc_off + 1 AS BIGINT) AS end_offset
+FROM nodes""",
     ),
     # TypeEntity methods/fields payload: member kind from the pinned id
     # shape ("::var::" = field)

@@ -87,6 +87,25 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    from .datapipe.dedup import dedup_survivors, minhash_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    return dedup_survivors(docs, minhash_near_duplicates(docs))
+
+
+def q_bpe_tokens(spark, sf_dir):
+    from .datapipe.textstats import bpe_ish_token_counts
+
+    return bpe_ish_token_counts(_docs(spark, sf_dir))
+
+
+def q_winnow(spark, sf_dir):
+    from .datapipe.textstats import winnowed_fingerprints
+
+    return winnowed_fingerprints(_docs(spark, sf_dir))
+
+
 def q_topk_cosine(spark, sf_dir):
     from .datapipe.similarity import topk_cosine
 
@@ -144,6 +163,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_quality": q_quality,
     "dp_token_counts": q_token_counts,
     "dp_fingerprints": q_fingerprints,
+    "dp_dedup_survivors": q_dedup_survivors,
+    "dp_bpe_tokens": q_bpe_tokens,
+    "dp_winnow": q_winnow,
     "dp_topk_cosine": q_topk_cosine,
     "dp_lsh_topk_cosine": q_lsh_topk_cosine,
     "dp_cosine_near_dups": q_cosine_near_dups,
@@ -183,14 +205,20 @@ bands AS (
   FROM sigs
 )"""
 
-_CAND_UNION = "\n  UNION\n".join(
+# UNION ALL + wrapped DISTINCT, NOT plain UNION: under a WITH RECURSIVE
+# prefix (the dedup-survivors oracle) DuckDB evaluates plain UNION in
+# non-recursive chained CTEs with recurring-union semantics and the
+# candidate set silently changes (measured 29198 -> 35226 rows)
+_CAND_UNION = "\n  UNION ALL\n".join(
     f"  SELECT x.doc_id AS a, y.doc_id AS b FROM bands x "
     f"JOIN bands y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
     for b in range(N_BANDS)
 )
 PAIRS_CTE = BANDS_CTE + f""",
 cands AS (
+  SELECT DISTINCT a, b FROM (
 {_CAND_UNION}
+  )
 ),
 inter AS (
   SELECT c.a, c.b, COUNT(*) AS inter
@@ -323,6 +351,65 @@ FROM documents GROUP BY lang""",
     "dp_fingerprints": """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
 FROM documents""",
+    # keep-first corpus dedupe: recursive CC (min reachable id) over the
+    # verified minhash near-dup pairs; survivors = docs that ARE their
+    # component's min (or sit in no pair)
+    "dp_dedup_survivors": f"""WITH RECURSIVE {PAIRS_CTE.lstrip()},
+ndpairs AS (
+  SELECT p.a, p.b
+  FROM inter p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 4
+),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT a AS u, b AS v FROM ndpairs
+    UNION ALL
+    SELECT b, a FROM ndpairs
+  )
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, MIN(v) AS root FROM reach GROUP BY u)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = CAST(d.doc_id AS VARCHAR) AND c.root <> c.doc_id)""",
+    "dp_bpe_tokens": r"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs
+FROM documents""",
+    # winnowing: k=3-token shingles hashed with the shared md5 hash,
+    # min per w=4 window, md5 over the sorted distinct selected hashes
+    "dp_winnow": f"""WITH
+wtoks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+wh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(len(toks) - 2, 1) - 1),
+           i -> {token_hash_sql("array_to_string(list_slice(toks, i + 1, i + 3), ' ')", 0)}
+         ) AS h
+  FROM wtoks
+),
+wm AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           generate_series(0, greatest(len(h) - 3, 1) - 1),
+           j -> list_min(list_slice(h, j + 1, j + 4))
+         ))) AS sel
+  FROM wh
+)
+SELECT doc_id,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ',')) AS fingerprint
+FROM wm""",
     "dp_ngram_jaccard": f"""WITH
 dt AS (
   SELECT DISTINCT doc_id, token FROM (

@@ -87,7 +87,7 @@ def incremental_update(
     edges = kept_edges.unionByName(fresh.edges)
     merged = kept_nodes.unionByName(fresh.nodes.filter(F.col("doc_id") != ""))
     w = Window.partitionBy("id").orderBy(
-        F.col("doc_id").desc(), F.col("location.start_offset").desc()
+        F.col("doc_id").desc(), F.col("location.start.offset").desc()
     )
     real_nodes = (
         merged.withColumn("_rn", F.row_number().over(w))

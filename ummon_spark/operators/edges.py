@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-TYPE_MENTIONS = ("Class", "Interface", "Trait", "Enum")
+TYPE_MENTIONS = ("Class", "Interface", "Trait", "Enum", "Struct")
 MEMBER_MENTIONS = ("Function", "Variable")
 
 
@@ -119,13 +119,14 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
     fn_id = F.concat(doc, F.lit("::"), name)
     cls_id = F.concat(F.lit("type::"), doc, F.lit("::"), name)
     var_id = F.concat(doc, F.lit("::var::"), name)
+    const_id = F.concat(doc, F.lit("::const::"), name)
 
-    # supertype pred by SOURCE kind (index.rs:410-418): only Class (and
-    # Struct) produce Inherits; Interface/Trait/Enum produce Implements.
-    # Both share the unprefixed-source quirk (see module docstring).
-    super_pred = F.when(mt == "Class", F.lit("inherits")).otherwise(
-        F.lit("implements")
-    )
+    # supertype pred by SOURCE kind (index.rs:410-418): Class and Struct
+    # produce Inherits; Interface/Trait/Enum produce Implements. Both
+    # share the unprefixed-source quirk (see module docstring).
+    super_pred = F.when(
+        mt.isin("Class", "Struct"), F.lit("inherits")
+    ).otherwise(F.lit("implements"))
     type_cands = F.when(
         detail != "",
         F.array(
@@ -139,6 +140,7 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
         F.when(mt == "Function", F.array(c(doc, "defines", fn_id)))
         .when(mt.isin(*TYPE_MENTIONS), type_cands)
         .when(mt == "Variable", F.array(c(doc, "defines", var_id)))
+        .when(mt == "Constant", F.array(c(doc, "defines", const_id)))
         .when(
             mt == "CallSite",
             F.when(detail != "", F.array(c(fn_id, "calls", detail))).otherwise(

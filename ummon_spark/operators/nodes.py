@@ -23,7 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ENTITY_MENTIONS = ("Function", "Class", "Interface", "Trait", "Enum", "Variable")
+from ..schemas import LOCATION_DDL
+
+ENTITY_MENTIONS = (
+    "Function",
+    "Class",
+    "Interface",
+    "Trait",
+    "Enum",
+    "Struct",
+    "Variable",
+    "Constant",
+)
 
 
 def doc_attachments(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -162,16 +173,17 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     # the Class id namespace ("type::{doc}::{Name}" — index.rs:265);
     # Variables get "{doc}::var::{name}" mirroring the reference's
     # field-id shape "{key}::field::{name}" (index.rs:446).
-    type_kinds = ("Class", "Interface", "Trait", "Enum")
+    type_kinds = ("Class", "Interface", "Trait", "Enum", "Struct")
     node_id = (
         F.when(mt == "Function", F.concat(doc, F.lit("::"), name))
         .when(mt.isin(*type_kinds), F.concat(F.lit("type::"), doc, F.lit("::"), name))
         .when(mt == "Variable", F.concat(doc, F.lit("::var::"), name))
+        .when(mt == "Constant", F.concat(doc, F.lit("::const::"), name))
         .when(mt == "Media", F.concat(F.lit("media::"), name))
     )
     entity_docs, module_docs = doc_attachments(m)
     entities = (
-        m.filter(mt.isin("Function", "Media", "Variable", *type_kinds))
+        m.filter(mt.isin("Function", "Media", "Variable", "Constant", *type_kinds))
         .select(
             node_id.alias("id"),
             name.alias("name"),
@@ -244,9 +256,19 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         F.when(F.col("entity_type") == "Function", F.lit(""))
         .otherwise(F.lit(None).cast("string"))
         .alias("return_type"),
+        # Location (entity.rs:6-23): {start,end} x {line,column,offset},
+        # measured in the dialect's span units on a single line
         F.struct(
-            F.col("offset").alias("start_offset"),
-            F.col("offset").alias("end_offset"),
+            F.struct(
+                F.lit(1).cast("long").alias("line"),
+                (F.col("offset") + 1).cast("long").alias("column"),
+                F.col("offset").cast("long").alias("offset"),
+            ).alias("start"),
+            F.struct(
+                F.lit(1).cast("long").alias("line"),
+                (F.col("offset") + 2).cast("long").alias("column"),
+                (F.col("offset") + 1).cast("long").alias("offset"),
+            ).alias("end"),
         ).alias("location"),
         F.lit(None)
         .cast("map<string,string>")
@@ -331,8 +353,6 @@ def synthesize_placeholders(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         F.lit("").alias("detail"),
         F.lit(None).cast(EMPTY_PARAMS).alias("parameters"),
         F.lit(None).cast("string").alias("return_type"),
-        F.lit(None).cast("struct<start_offset:bigint,end_offset:bigint>").alias(
-            "location"
-        ),
+        F.lit(None).cast(LOCATION_DDL).alias("location"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )

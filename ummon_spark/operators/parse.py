@@ -24,7 +24,11 @@ Mention dialect (FIXTURES.md §1):
                                   supertype edges are `implements` —
                                   index.rs:410-418: only Class/Struct
                                   sources produce Inherits)
+  struct "Name(Super)"         -> Struct, class-shaped (its supertype
+                                  edge is `inherits`: index.rs:410-416
+                                  covers Class AND Struct)
   var    "name[=value]"        -> Variable(name, detail=value or '')
+  const  "name[=value]"        -> Constant(name, detail=value or '')
   call   "callee"|"qual.callee"-> CallSite(last-segment name,
                                   detail=fqn iff dotted — the reference
                                   sets FQN only when the call text
@@ -49,7 +53,13 @@ from ..schemas import MENTIONS
 
 _MEDIA = ("image", "audio", "video")
 # class-shaped type kinds -> entity_type (entity.rs:69-86)
-_TYPE_KINDS = {"class": "Class", "interface": "Interface", "trait": "Trait", "enum": "Enum"}
+_TYPE_KINDS = {
+    "class": "Class",
+    "interface": "Interface",
+    "trait": "Trait",
+    "enum": "Enum",
+    "struct": "Struct",
+}
 
 
 def explode_spans(spans_df: DataFrame) -> DataFrame:
@@ -81,10 +91,12 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
     mention_type = F.when(k == "def", "Function")
     for kind, etype in _TYPE_KINDS.items():
         mention_type = mention_type.when(k == kind, etype)
+    value_like = k.isin("var", "const")
     mention_type = (
         mention_type.when(k == "call", "CallSite")
         .when(k == "import", "Import")
         .when(k == "var", "Variable")
+        .when(k == "const", "Constant")
         .when(is_media, "Media")
         .when(k == "doc", "Doc")
     )
@@ -92,7 +104,7 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
         F.when(paren_like, F.substring_index(text, "(", 1))
         .when(k == "call", F.substring_index(text, ".", -1))
         .when(k == "import", text)
-        .when(k == "var", F.substring_index(text, "=", 1))
+        .when(value_like, F.substring_index(text, "=", 1))
         .when(is_media, F.col("media_ref"))
         .otherwise(F.lit(""))
     )
@@ -100,7 +112,7 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
         F.when(paren_like, F.regexp_extract(text, r"\(([^)]*)\)", 1))
         .when(k == "call", F.when(dotted, text).otherwise(F.lit("")))
         .when(
-            k == "var",
+            value_like,
             F.when(text.contains("="), F.substring_index(text, "=", -1)).otherwise(
                 F.lit("")
             ),
@@ -131,7 +143,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     media = pdf["media_ref"].fillna("")
     is_media = k.isin(_MEDIA)
     keep = (
-        k.isin(("def", "call", "import", "var", "doc"))
+        k.isin(("def", "call", "import", "var", "const", "doc"))
         | k.isin(tuple(_TYPE_KINDS))
         | is_media
     )
@@ -150,6 +162,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "call": "CallSite",
             "import": "Import",
             "var": "Variable",
+            "const": "Constant",
             "doc": "Doc",
             **_TYPE_KINDS,
         }
@@ -157,6 +170,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     mention_type = mention_type.where(~is_media, "Media")
 
     paren_like = k.isin(("def",) + tuple(_TYPE_KINDS))
+    value_like = k.isin(("var", "const"))
     before_paren = text.str.split("(", n=1).str[0]
     in_paren = text.str.extract(r"\(([^)]*)\)", expand=False).fillna("")
     last_seg = text.str.rsplit(".", n=1).str[-1]
@@ -168,13 +182,13 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     name = name.mask(paren_like, before_paren)
     name = name.mask(k == "call", last_seg)
     name = name.mask(k == "import", text)
-    name = name.mask(k == "var", before_eq)
+    name = name.mask(value_like, before_eq)
     name = name.mask(is_media, media)
 
     detail = pd.Series("", index=pdf.index, dtype=object)
     detail = detail.mask(paren_like, in_paren)
     detail = detail.mask((k == "call") & dotted, text)
-    detail = detail.mask((k == "var") & has_eq, after_last_eq)
+    detail = detail.mask(value_like & has_eq, after_last_eq)
     detail = detail.mask(is_media, media)
     detail = detail.mask(k == "doc", text)
 

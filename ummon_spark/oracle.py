@@ -84,7 +84,9 @@ node_cands AS (
   FROM toks
 ),
 nodes AS (
-  SELECT id, name, entity_type, doc_id, containing_entity, detail FROM (
+  SELECT id, name, entity_type, doc_id, containing_entity, detail,
+         ord_idx AS loc_off
+  FROM (
     SELECT *, row_number() OVER (
       PARTITION BY id ORDER BY ord_doc DESC, ord_idx DESC) AS rn
     FROM node_cands) WHERE rn = 1

@@ -138,15 +138,18 @@ def typed_nodes(nodes: DataFrame, edges: DataFrame | None, entity_type: str) -> 
     from ..types import parse_entity_type
 
     entity_type = parse_entity_type(entity_type)
-    if entity_type == "Method" and edges is not None:
+    # structural views (same membership rule that builds the contains
+    # edges): Method = contained Function, Field = contained Variable
+    member_views = {"Method": "Function", "Field": "Variable"}
+    if entity_type in member_views and edges is not None:
         members = (
             edges.filter(F.col("pred") == "contains")
             .select(F.col("obj").alias("id"))
             .distinct()
         )
-        return nodes.filter(F.col("entity_type") == "Function").join(
-            members, "id", "left_semi"
-        )
+        return nodes.filter(
+            F.col("entity_type") == member_views[entity_type]
+        ).join(members, "id", "left_semi")
     return nodes.filter(F.col("entity_type") == entity_type)
 
 

@@ -63,11 +63,26 @@ MENTION_TYPES = ("Function", "Class", "CallSite", "Import", "Media", "Doc")
 # relationships tables src/db.rs:91-111). Partitioned by entity_type /
 # pred respectively — the Spark analog of the reference's B-tree indexes.
 # ---------------------------------------------------------------------------
+# Location range (entity.rs:6-23): {start,end} x {line,column,offset}.
+# The span dialect measures positions in span units on a single line:
+# line = 1, column = span index + 1 (1-based), offset = span index;
+# end = start + one span (exclusive).
+POSITION = T.StructType(
+    [
+        T.StructField("line", T.LongType(), True),
+        T.StructField("column", T.LongType(), True),
+        T.StructField("offset", T.LongType(), True),
+    ]
+)
 LOCATION = T.StructType(
     [
-        T.StructField("start_offset", T.LongType(), True),
-        T.StructField("end_offset", T.LongType(), True),
+        T.StructField("start", POSITION, True),
+        T.StructField("end", POSITION, True),
     ]
+)
+LOCATION_DDL = (
+    "struct<start:struct<line:bigint,column:bigint,offset:bigint>,"
+    "end:struct<line:bigint,column:bigint,offset:bigint>>"
 )
 
 NODES = T.StructType(
