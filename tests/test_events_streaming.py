@@ -1,0 +1,95 @@
+"""Event analytics tests: streaming windowed aggregation == batch,
+and the applyInPandasWithState gap-sessionizer vs the batch
+sessionize (every session except each user's open tail is emitted
+in-stream)."""
+
+from __future__ import annotations
+
+import shutil
+
+from conftest import SF_SMOKE
+
+from ummon_spark.events import (
+    load_events,
+    run_windowed_counts_stream,
+    sessionize,
+    sessionize_stream,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", in_dir)
+
+    run_windowed_counts_stream(spark, in_dir, out_dir, ckpt, watermark="0 seconds")
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    batch_rows = windowed_event_counts(load_events(spark, SF_SMOKE)).collect()
+    # append mode emits a window once the watermark (here: max event
+    # time) passes its END — every window except the one holding the
+    # final event(s); those stay open in state by design
+    from datetime import datetime
+
+    max_ts = max(r["ts"] for r in load_events(spark, SF_SMOKE).collect())
+    max_epoch = (max_ts - datetime(1970, 1, 1)).total_seconds()  # tz-free
+    expected = sorted(
+        tuple(r) for r in batch_rows if r["window_start"] + 600 <= max_epoch
+    )
+    assert streamed == expected
+    assert len(expected) >= len(batch_rows) - 2  # only the tail stays open
+    # replay with no new files: exactly-once (no duplicate windows)
+    run_windowed_counts_stream(spark, in_dir, out_dir, ckpt, watermark="0 seconds")
+    assert sorted(tuple(r) for r in spark.read.parquet(out_dir).collect()) == expected
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", in_dir)
+
+    q = (
+        sessionize_stream(stream_events(spark, in_dir))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"],
+            r["start_epoch"],
+            r["end_epoch"],
+            r["value_cents"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch_rows = sessionize(load_events(spark, SF_SMOKE)).collect()
+    batch = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"],
+            r["start_epoch"],
+            r["end_epoch"],
+            r["value_cents"],
+        )
+        for r in batch_rows
+    }
+    # the stream emits sessions CLOSED by an observed gap; each user's
+    # final (still-open) session stays in state until the event-time
+    # timeout, so streamed == batch minus each user's last session
+    last_per_user = {}
+    for user_id, idx in batch:
+        last_per_user[user_id] = max(last_per_user.get(user_id, 0), idx)
+    expected = {
+        k: v for k, v in batch.items() if k[1] < last_per_user[k[0]]
+    }
+    assert streamed == expected
+    assert expected, "corpus must contain closed sessions for the test to bite"

@@ -87,6 +87,22 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_ev_windowed_counts(spark, sf_dir):
+    from .events import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir))
+
+
+def q_ev_sessions(spark, sf_dir):
+    from .events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
 def q_dedup_survivors(spark, sf_dir):
     from .datapipe.dedup import dedup_survivors, minhash_near_duplicates
 
@@ -166,6 +182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_dedup_survivors": q_dedup_survivors,
     "dp_bpe_tokens": q_bpe_tokens,
     "dp_winnow": q_winnow,
+    "ev_windowed_counts": q_ev_windowed_counts,
+    "ev_sessions": q_ev_sessions,
     "dp_topk_cosine": q_topk_cosine,
     "dp_lsh_topk_cosine": q_lsh_topk_cosine,
     "dp_cosine_near_dups": q_cosine_near_dups,
@@ -379,6 +397,38 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id FROM documents d
 WHERE NOT EXISTS (
   SELECT 1 FROM comp c
   WHERE c.doc_id = CAST(d.doc_id AS VARCHAR) AND c.root <> c.doc_id)""",
+    # tumbling windows align to the epoch in both engines (DuckDB
+    # time_bucket's 2000-01-01 origin is a multiple of 600 s); sums are
+    # integer cents so no float accumulation order can drift
+    "ev_windowed_counts": """SELECT
+  CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2""",
+    "ev_sessions": """WITH se AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, sec, cents,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM se
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(sec) AS start_epoch, MAX(sec) AS end_epoch,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM sess GROUP BY 1, 2""",
     "dp_bpe_tokens": r"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_runs
