@@ -257,3 +257,23 @@ def test_winnowing_shared_run_guarantee(spark):
     assert rows["1"]["n_selected"] == len(s1)
     exp_fp = hashlib.md5(",".join(str(x) for x in s1).encode()).hexdigest()
     assert rows["1"]["fingerprint"] == exp_fp
+
+
+def test_ivf_topk_subset_and_order(spark, embs):
+    """IVF results: exact dots for whatever candidates the probed
+    lists contain, in (dot desc, vec_id) order; the probed-list scan
+    never exceeds the corpus; recall grows with n_probe."""
+    from ummon_spark.datapipe.similarity import ivf_topk_cosine, topk_cosine
+
+    exact = {r["vec_id"]: r["dot"] for r in topk_cosine(embs, 0, 500).collect()}
+    approx = [(r["vec_id"], r["dot"]) for r in ivf_topk_cosine(embs, 0, 10).collect()]
+    assert approx == sorted(approx, key=lambda t: (-t[1], t[0]))
+    for vid, dot in approx:
+        assert exact[vid] == dot  # dots are exact, never re-quantized
+    # probing ALL centroids (n_probe = n_centroids) = exact top-k
+    full = [
+        (r["vec_id"], r["dot"])
+        for r in ivf_topk_cosine(embs, 0, 10, n_centroids=16, n_probe=16).collect()
+    ]
+    exact10 = [(r["vec_id"], r["dot"]) for r in topk_cosine(embs, 0, 10).collect()]
+    assert full == exact10

@@ -249,6 +249,78 @@ def _verify_cosine_pairs(
     ).filter(cond)
 
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS
+) -> DataFrame:
+    """(vec_id, q, centroid): IVF coarse quantizer. Centroids are the
+    quantized vectors of the n_centroids smallest vec_ids — a
+    deterministic, SQL-expressible seeding (k-means would converge to
+    data-dependent centroids; the INDEX STRUCTURE — inverted lists
+    probed by nearest-centroid — is what matters for the scale shape,
+    and the seeding rule is swappable). Assignment = argmax quantized
+    dot product, ties to the smallest centroid id.
+
+    Scale shape: the centroid table is n_centroids rows (broadcast);
+    assignment is one narrow pass; the downstream search scans only the
+    probed inverted lists, each ~n/n_centroids rows."""
+    q = quantized(embeddings)
+    cents = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _dot(F.col("q"), F.col("cq")).alias("cdot")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(F.struct("q", "cid"), F.struct(F.col("cdot"), -F.col("cid"))).alias(
+            "_b"
+        )
+    )
+    return best.select(
+        "vec_id", F.col("_b.q").alias("q"), F.col("_b.cid").alias("centroid")
+    )
+
+
+def ivf_topk_cosine(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: scan only the inverted lists of the
+    n_probe centroids nearest to the query (by quantized dot, ties to
+    smaller cid), rank candidates by exact quantized dot. The scan
+    touches ~n * n_probe / n_centroids rows instead of n."""
+    assigned = ivf_assignments(embeddings, n_centroids).persist()
+    qrow = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq")
+    )
+    cents = assigned.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qrow))
+        .select("cid", _dot(F.col("cq"), F.col("qq")).alias("cdot"))
+        .orderBy(F.col("cdot").desc(), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    cands = (
+        assigned.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes), assigned.centroid == F.col("cid"), "left_semi")
+        .crossJoin(F.broadcast(qrow))
+    )
+    return (
+        cands.select("vec_id", _dot(F.col("q"), F.col("qq")).alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold_milli: int = 950,

@@ -137,6 +137,12 @@ def q_lsh_topk_cosine(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    from .datapipe.similarity import ivf_topk_cosine
+
+    return ivf_topk_cosine(_embs(spark, sf_dir), ANN_QUERY_VEC, ANN_K)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -186,6 +192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_sessions": q_ev_sessions,
     "dp_topk_cosine": q_topk_cosine,
     "dp_lsh_topk_cosine": q_lsh_topk_cosine,
+    "dp_ivf_topk": q_ivf_topk,
     "dp_cosine_near_dups": q_cosine_near_dups,
     "dp_cosine_near_dups_banded": q_cosine_near_dups_banded,
     "dp_ngram_jaccard": q_ngram_jaccard,
@@ -481,6 +488,35 @@ WHERE p.inter * 5 >= (sa.sz + sb.sz - p.inter) * 3""",
 qq AS (SELECT q AS query_q FROM qv WHERE vec_id = {ANN_QUERY_VEC})
 SELECT vec_id, {_dot_sql('q', 'query_q')} AS dot
 FROM qv, qq WHERE vec_id <> {ANN_QUERY_VEC}
+ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
+    # IVF: centroids = quantized vectors of the 16 smallest vec_ids;
+    # assignment = argmax quantized dot (ties -> smaller cid); search
+    # scans the 4 probed inverted lists only
+    "dp_ivf_topk": f"""WITH {_Q_CTE},
+cents AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 16),
+cscored AS (
+  SELECT v.vec_id, v.q, c.cid, {_dot_sql('v.q', 'c.cq')} AS cdot
+  FROM qv v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, q, cid AS centroid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+qq AS (SELECT q AS qq FROM qv WHERE vec_id = {ANN_QUERY_VEC}),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_dot_sql('c.cq', 'qq.qq')} AS cdot FROM cents c, qq
+  ) ORDER BY cdot DESC, cid LIMIT 4
+)
+SELECT vec_id, dot FROM (
+  SELECT a.vec_id, {_dot_sql('a.q', 'qq.qq')} AS dot
+  FROM assign a, qq
+  WHERE a.vec_id <> {ANN_QUERY_VEC}
+    AND a.centroid IN (SELECT cid FROM probes)
+)
 ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
     "dp_cosine_near_dups": f"""WITH {_signs_cte()}
 SELECT a, b, dot, na2, nb2 FROM (
