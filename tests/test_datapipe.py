@@ -277,3 +277,33 @@ def test_ivf_topk_subset_and_order(spark, embs):
     ]
     exact10 = [(r["vec_id"], r["dot"]) for r in topk_cosine(embs, 0, 10).collect()]
     assert full == exact10
+
+
+def test_resize_plan_and_stub_kernel(spark):
+    from ummon_spark.datapipe.multimodal import (
+        decode_media,
+        resize_media,
+        resize_plan,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, [("img_a", "image"), ("vid_b", "video")])
+    decoded = decode_media(media, fake=True)
+    plan = resize_plan(decoded, max_side=64)
+    rows = {r["media_ref"]: r for r in plan.collect()}
+    assert set(rows) == {"img_a"}  # images only
+    r = rows["img_a"]
+    # aspect ratio preserved, longest side clamped to 64, never upscaled
+    assert max(r["new_width"], r["new_height"]) <= 64
+    assert r["new_width"] <= r["width"] and r["new_height"] <= r["height"]
+    ratio_orig = r["width"] / r["height"]
+    ratio_new = r["new_width"] / r["new_height"]
+    assert abs(ratio_orig - ratio_new) < 0.2
+    resized = resize_media(media, plan, fake=True).collect()
+    assert len(resized) == 1 and len(resized[0]["payload"]) >= 1
+    again = resize_media(media, plan, fake=True).collect()
+    assert resized[0]["payload"] == again[0]["payload"]  # deterministic
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|real media"):
+        resize_media(media, plan, fake=False).collect()

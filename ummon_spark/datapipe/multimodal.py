@@ -92,6 +92,69 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("new_width", T.IntegerType(), True),
+        T.StructField("new_height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """(media_ref, width, height, new_width, new_height): target
+    dimensions for aspect-ratio-preserving downscale to max_side —
+    pure column arithmetic (no kernel needed); images already within
+    bounds keep their dims (never upscaled)."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(
+        F.lit(1.0)
+    )
+    return decoded.filter(F.col("kind") == "image").select(
+        "media_ref",
+        "width",
+        "height",
+        F.greatest(F.floor(w * scale), F.lit(1)).cast("int").alias("new_width"),
+        F.greatest(F.floor(h * scale), F.lit(1)).cast("int").alias("new_height"),
+    )
+
+
+def resize_media(
+    media: DataFrame, plan: DataFrame, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched resample of image payloads to the planned dims.
+    The pixel kernel is a STUB (no image libs in this container):
+    fake=True produces a deterministic md5-derived payload sized
+    new_width*new_height/64 bytes, exercising the real join +
+    mapInPandas plumbing; fake=False raises."""
+    joined = media.select("media_ref", "payload").join(plan, "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media resampling needs image libs not present in "
+                    "this container; pass fake=True for the deterministic stub"
+                )
+            out = []
+            for ref, payload, nw, nh in zip(
+                pdf["media_ref"], pdf["payload"], pdf["new_width"], pdf["new_height"]
+            ):
+                seed = hashlib.md5(
+                    (payload or b"") + f"|{nw}x{nh}".encode()
+                ).digest()
+                size = max(int(nw) * int(nh) // 64, 1)
+                fake_bytes = (seed * (size // len(seed) + 1))[:size]
+                out.append((ref, int(nw), int(nh), fake_bytes))
+            yield pd.DataFrame(
+                out, columns=["media_ref", "new_width", "new_height", "payload"]
+            )
+
+    return joined.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_ref, frame_idx) sampling plan for video rows — pure
     column ops (sequence + filter), the decode of each sampled frame
