@@ -20,7 +20,12 @@ from ummon_spark.operators.parse import (
 )
 from ummon_spark.schemas import DOCUMENTS
 
-KINDS = ("def", "class", "call", "import", "doc", "text", "image", "audio", "video")
+KINDS = (
+    "def", "class", "interface", "trait", "enum", "struct",
+    "call", "import", "var", "const", "doc", "text",
+    "image", "audio", "video",
+)
+_CLASS_LIKE = ("class", "interface", "trait", "enum", "struct")
 
 token = st.text(
     alphabet=st.characters(
@@ -36,10 +41,14 @@ def span(draw, offset):
     kind = draw(st.sampled_from(KINDS))
     if kind in ("image", "audio", "video"):
         return (kind, "", f"{kind[:3]}_{draw(token)}", offset)
-    if kind == "def" or kind == "class":
+    if kind == "def" or kind in _CLASS_LIKE:
         name = draw(token)
         inner = draw(token)
         return (kind, f"{name}({inner})", "", offset)
+    if kind in ("var", "const"):
+        name = draw(token)
+        val = draw(st.sampled_from(["", "="]))
+        return (kind, name + (f"={draw(token)}" if val else ""), "", offset)
     if kind == "call":
         parts = draw(st.lists(token, min_size=1, max_size=3))
         return (kind, ".".join(parts), "", offset)
@@ -93,3 +102,38 @@ def test_span_sequence_invariant_and_parser_parity(spark, docs):
         sorted(tuple(r) for r in ref.itertuples(index=False)) if ref is not None else []
     )
     assert fast == slow
+
+
+# --- typed-parameter parsing vs a Python reference model --------------------
+
+param_piece = st.text(alphabet="ab1*:= ,", min_size=0, max_size=12)
+
+
+def _ref_parse_params(detail: str):
+    """Driver-side model of nodes.parse_parameters."""
+    out = []
+    for raw in detail.split(","):
+        part = raw.strip()
+        if part == "":
+            continue
+        name_type = part.split("=", 1)[0].strip()
+        default = part.rsplit("=", 1)[1].strip() if "=" in part else ""
+        if ":" in name_type:
+            type_ann = name_type.rsplit(":", 1)[1].strip()
+        else:
+            type_ann = ""
+        name = name_type.split(":", 1)[0].strip().lstrip("*")
+        out.append((name, type_ann, default))
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(detail=param_piece)
+def test_parse_parameters_matches_reference_model(spark, detail):
+    from ummon_spark.operators.nodes import parse_parameters
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(detail,)], "detail string")
+    got = df.select(parse_parameters(F.col("detail")).alias("p")).collect()[0]["p"]
+    assert [tuple(x) for x in got] == _ref_parse_params(detail)
