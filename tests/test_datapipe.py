@@ -307,3 +307,19 @@ def test_resize_plan_and_stub_kernel(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|real media"):
         resize_media(media, plan, fake=False).collect()
+
+
+def test_ivf_auto_centroids(spark, embs):
+    from ummon_spark.datapipe.similarity import (
+        auto_centroid_count,
+        ivf_topk_cosine,
+    )
+
+    assert auto_centroid_count(100) == 16
+    assert auto_centroid_count(10**6) == 1000
+    assert auto_centroid_count(10**9) == 31622
+    assert auto_centroid_count(10**12) == 65_536  # capped
+    out = ivf_topk_cosine(embs, 0, k=5, n_centroids=None).collect()
+    assert len(out) <= 5
+    pairs = [(r["dot"], r["vec_id"]) for r in out]
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))

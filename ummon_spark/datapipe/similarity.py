@@ -251,10 +251,22 @@ def _verify_cosine_pairs(
 
 IVF_CENTROIDS = 16
 IVF_PROBES = 4
+MAX_IVF_CENTROIDS = 65_536
+
+
+def auto_centroid_count(n_vectors: int) -> int:
+    """IVF centroid count scaled to the corpus: ~sqrt(n) (the standard
+    FAISS sizing), floored at IVF_CENTROIDS and capped at 2^16 — the
+    assignment pass computes n x C dot products, so C must grow slower
+    than n; at 10^9 vectors C=31623 keeps inverted lists ~31k rows and
+    the assignment ~3*10^13 int-dot terms, spread across executors as
+    one narrow broadcast-join pass."""
+    c = int(max(n_vectors, 1) ** 0.5)
+    return min(max(IVF_CENTROIDS, c), MAX_IVF_CENTROIDS)
 
 
 def ivf_assignments(
-    embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS
+    embeddings: DataFrame, n_centroids: int | None = IVF_CENTROIDS
 ) -> DataFrame:
     """(vec_id, q, centroid): IVF coarse quantizer. Centroids are the
     quantized vectors of the n_centroids smallest vec_ids — a
@@ -266,7 +278,11 @@ def ivf_assignments(
 
     Scale shape: the centroid table is n_centroids rows (broadcast);
     assignment is one narrow pass; the downstream search scans only the
-    probed inverted lists, each ~n/n_centroids rows."""
+    probed inverted lists, each ~n/n_centroids rows. n_centroids=None
+    scales C ~ sqrt(n) (auto_centroid_count) so lists stay bounded as
+    the corpus grows."""
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(embeddings.count())
     q = quantized(embeddings)
     cents = q.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
@@ -288,13 +304,16 @@ def ivf_topk_cosine(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = IVF_CENTROIDS,
     n_probe: int = IVF_PROBES,
 ) -> DataFrame:
     """IVF approximate top-k: scan only the inverted lists of the
     n_probe centroids nearest to the query (by quantized dot, ties to
     smaller cid), rank candidates by exact quantized dot. The scan
-    touches ~n * n_probe / n_centroids rows instead of n."""
+    touches ~n * n_probe / n_centroids rows instead of n;
+    n_centroids=None scales C ~ sqrt(n)."""
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(embeddings.count())
     assigned = ivf_assignments(embeddings, n_centroids).persist()
     qrow = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq")

@@ -282,7 +282,13 @@ def with_type_members(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     Member kind comes from the id shape our synthesis pins
     ("{doc}::var::{name}" = field, else method) — no join against the
     node table needed, so this is one groupBy over the contains slice
-    plus one left join onto nodes. Lists are sorted for determinism."""
+    plus one left join onto nodes. Lists are sorted for determinism.
+
+    Scale caveat (inherent to the reference's list-valued payload,
+    entity.rs:288-296): a pathological type with millions of members
+    yields a multi-MB array in one row. If that class of input exists,
+    keep the relational form (kg_contains / kg_type_members exploded
+    pairs) and skip this materialization."""
     contains = edges.filter(F.col("pred") == "contains")
     is_field = F.col("obj").contains("::var::")
     grouped = contains.groupBy(F.col("subj").alias("id")).agg(
