@@ -236,10 +236,19 @@ if __name__ == "__main__":
     else:
         # default: best of N runs — identical back-to-back runs on this
         # shared host spread ±30%, and a single sample measures the
-        # neighbors, not the engine
+        # neighbors, not the engine. The headline (build throughput)
+        # keeps the best-build run; each query timing keeps its own
+        # minimum ACROSS runs — publishing the best-build run's query
+        # timings wholesale let one noise-hit query phase poison the
+        # artifact (BENCH_r02 published 17-40x outliers that way).
         best = None
+        per_query_min: dict[str, float] = {}
         for _ in range(max(SCALING_RUNS - 1, 1)):
             res = run_bench()
+            for name, sec in res["queries"].items():
+                if name not in per_query_min or sec < per_query_min[name]:
+                    per_query_min[name] = sec
             if best is None or res["build_sec"] < best["build_sec"]:
                 best = res
+        best["queries"] = per_query_min
         print(json.dumps(best))

@@ -50,11 +50,18 @@ def _urllib_transport(url: str, headers: dict, body: str) -> str:
 def _llm_callable(provider: str | None, model: str | None):
     from .llm import LLMConfig, query_llm
 
+    # extra provider headers come in as "Name: value" pairs joined by
+    # '|' — the full header (name AND value) is caller territory
+    extra = {}
+    for pair in os.environ.get("UMMON_SPARK_EXTRA_HEADERS", "").split("|"):
+        if ":" in pair:
+            name, _, value = pair.partition(":")
+            extra[name.strip()] = value.strip()
     cfg = LLMConfig(
         provider=provider or "openai",
         model=model or LLMConfig.model,
         api_key=os.environ.get("UMMON_SPARK_API_KEY", ""),
-        api_version=os.environ.get("UMMON_SPARK_API_VERSION", ""),
+        extra_headers=extra,
     )
     return lambda prompt: query_llm(prompt, cfg, _urllib_transport)
 

@@ -6,10 +6,19 @@ reference user would switch to.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CLI_LIMIT = 20  # cli.rs:81-82
 DEFAULT_LIB_LIMIT = 100  # query/mod.rs:70
+# Hard driver-side cap for the non-text formats (json/csv/tree render
+# every result row, reference formatter.rs parity): rows stream to the
+# driver one partition at a time via toLocalIterator and collection
+# stops at the cap — a `--format json` select over 10^9 nodes holds at
+# most one partition + MAX_COLLECT_ROWS rows in driver memory instead
+# of the whole result.
+MAX_COLLECT_ROWS = 100_000
 
 
 def index(
@@ -46,6 +55,7 @@ def query(
     limit: int = DEFAULT_CLI_LIMIT,
     natural: bool = False,
     llm=None,
+    max_rows: int = MAX_COLLECT_ROWS,
 ) -> str:
     """`ummon query` equivalent: [NL->UQL ->] parse -> execute ->
     format (+ text-only limit footer). Tree format renders each result
@@ -74,7 +84,11 @@ def query(
                 formatted.rstrip("\n"), limit, total
             )
         return formatted
-    rows = result.collect()
+    # bounded collect: stream partitions, stop at max_rows (json/csv/
+    # tree format every row — reference parity — but the driver must
+    # not hold an unbounded result; Spark prefetches at most one
+    # partition beyond the islice stop)
+    rows = list(itertools.islice(result.toLocalIterator(), max_rows))
     if fmt == "tree":
         ids = [r["id"] for r in rows]
         out_edges = (

@@ -243,7 +243,7 @@ def q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     canon = canonical_mapping(g.nodes)
-    return canonicalize_edges(g.edges, canon.mapping)
+    return canonicalize_edges(g.edges, canon)
 
 
 def q_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +260,7 @@ def q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _graph(spark, sf_dir)
     canon = canonical_mapping(g.nodes)
-    return canonicalize_nodes(g.nodes, canon.mapping).select(
+    return canonicalize_nodes(g.nodes, canon).select(
         "id", "name", "entity_type", "doc_id", "containing_entity"
     )
 

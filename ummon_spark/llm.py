@@ -27,9 +27,9 @@ class LLMConfig:
     model: str = "gpt-4o-mini"
     api_key: str = ""
     base_url: str = ""
-    # Provider API-version header value (e.g. the anthropic-version date
-    # string) — deliberately caller-supplied, never hardcoded here.
-    api_version: str = ""
+    # Provider-specific headers (auth schemes, API-version pins, beta
+    # flags) are deliberately caller-supplied in full (name AND value) —
+    # this module never hardcodes a provider header key.
     extra_headers: dict[str, str] = field(default_factory=dict)
 
 
@@ -42,8 +42,6 @@ def shape_request(prompt: str, cfg: LLMConfig) -> tuple[str, dict[str, str], str
             "x-api-key": cfg.api_key,
             "content-type": "application/json",
         }
-        if cfg.api_version:
-            headers["anthropic-version"] = cfg.api_version
         body = json.dumps(
             {
                 "model": cfg.model,

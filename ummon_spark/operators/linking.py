@@ -145,6 +145,16 @@ class Canonicalization:
     mapping: DataFrame  # (id, canonical_id) for linkable nodes
     rounds: int
     converged: bool
+    _n_rows: int | None = None  # lazily counted, shared by both rewrites
+
+    def broadcast_ok(self) -> bool:
+        """One counted size decision shared by canonicalize_edges AND
+        canonicalize_nodes. The mapping is persisted (canonical_mapping),
+        so the count materializes it once and both rewrites reuse the
+        cached partitions — no repeated CC fixpoint recomputation."""
+        if self._n_rows is None:
+            self._n_rows = self.mapping.count()
+        return self._n_rows <= MAX_BROADCAST_MAPPING_ROWS
 
 
 def canonical_mapping(nodes: DataFrame) -> Canonicalization:
@@ -158,6 +168,9 @@ def canonical_mapping(nodes: DataFrame) -> Canonicalization:
             "id",
             F.coalesce("component", F.col("id")).alias("canonical_id"),
         )
+        # persisted: every consumer (size guard, edge rewrite subj+obj
+        # sides, node rewrite) would otherwise re-run the CC fixpoint
+        .persist()
     )
     return Canonicalization(
         mapping=mapping, rounds=cc.rounds, converged=cc.converged
@@ -167,8 +180,20 @@ def canonical_mapping(nodes: DataFrame) -> Canonicalization:
 MAX_BROADCAST_MAPPING_ROWS = 5_000_000  # ~a few hundred MB of id pairs
 
 
+def _resolve_mapping(mapping, force_broadcast):
+    """Accept either a raw mapping DataFrame or a Canonicalization; the
+    latter shares one counted broadcast decision across calls."""
+    if isinstance(mapping, Canonicalization):
+        if force_broadcast is None:
+            force_broadcast = mapping.broadcast_ok()
+        return mapping.mapping, force_broadcast
+    if force_broadcast is None:
+        force_broadcast = mapping.count() <= MAX_BROADCAST_MAPPING_ROWS
+    return mapping, force_broadcast
+
+
 def canonicalize_edges(
-    edges: DataFrame, mapping: DataFrame, force_broadcast: bool | None = None
+    edges: DataFrame, mapping, force_broadcast: bool | None = None
 ) -> DataFrame:
     """Rewrite subj/obj to canonical ids; merge parallel edges.
 
@@ -176,11 +201,12 @@ def canonicalize_edges(
     of the graph — so the rewrite joins broadcast when the mapping is
     small enough; beyond MAX_BROADCAST_MAPPING_ROWS the hint is dropped
     and AQE picks the join strategy (a forced broadcast of a huge
-    mapping would OOM executors at 10^12-doc scale).
+    mapping would OOM executors at 10^12-doc scale). Pass the
+    Canonicalization itself (not .mapping) to share one counted size
+    decision with canonicalize_nodes.
     weight = sum of merged weights; id recomputed from the triple.
     """
-    if force_broadcast is None:
-        force_broadcast = mapping.count() <= MAX_BROADCAST_MAPPING_ROWS
+    mapping, force_broadcast = _resolve_mapping(mapping, force_broadcast)
     hint = F.broadcast if force_broadcast else (lambda df: df)
     msub = mapping.select(
         F.col("id").alias("subj"), F.col("canonical_id").alias("_csubj")
@@ -212,7 +238,7 @@ def canonicalize_edges(
 
 
 def canonicalize_nodes(
-    nodes: DataFrame, mapping: DataFrame, force_broadcast: bool | None = None
+    nodes: DataFrame, mapping, force_broadcast: bool | None = None
 ) -> DataFrame:
     """Keep one node row per canonical id (the representative's row,
     i.e. the min-id member), non-linkable nodes unchanged.
@@ -220,9 +246,9 @@ def canonicalize_nodes(
     Same size-guarded broadcast as canonicalize_edges: above
     MAX_BROADCAST_MAPPING_ROWS the hint is dropped and AQE picks the
     strategy — a forced broadcast of a 10^9-row mapping OOMs executors.
+    Pass the Canonicalization itself to share one counted decision.
     """
-    if force_broadcast is None:
-        force_broadcast = mapping.count() <= MAX_BROADCAST_MAPPING_ROWS
+    mapping, force_broadcast = _resolve_mapping(mapping, force_broadcast)
     hint = F.broadcast if force_broadcast else (lambda df: df)
     with_canon = nodes.join(
         hint(mapping), "id", "left"
