@@ -123,9 +123,25 @@ def concept_nodes(concepts: DataFrame) -> DataFrame:
     )
 
 
+REPRESENTED_TYPES = (
+    "Function",
+    "Class",
+    "Interface",
+    "Trait",
+    "Enum",
+    "Struct",
+)
+
+
 def represented_by_edges(concepts: DataFrame, nodes: DataFrame) -> DataFrame:
-    """concept -> same-named Function entities of the same document."""
-    funcs = nodes.filter(F.col("entity_type") == "Function").select(
+    """concept -> same-named technical entities of the same document.
+
+    Name matching is entity-type-agnostic in the reference (concept
+    relationships target EntityId::new(bare name), index.rs:957-975),
+    so concepts anchor to functions AND type entities — type anchors
+    give RelatesTo its outbound paths (type --contains--> member
+    function == another concept's anchor)."""
+    funcs = nodes.filter(F.col("entity_type").isin(*REPRESENTED_TYPES)).select(
         F.col("id").alias("obj"), F.col("name"), F.col("doc_id")
     )
     return (

@@ -214,6 +214,49 @@ def q_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionEntity flag payload (entity.rs:209-219): is_async/
+    is_static/is_abstract + return_type, now populated from the
+    dialect's modifier/return markers."""
+    g = _graph(spark, sf_dir)
+    return g.nodes.filter(
+        (F.col("entity_type") == "Function") & (F.col("doc_id") != "")
+    ).select("id", "is_async", "is_static", "is_abstract", "return_type")
+
+
+def q_supertypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeEntity.supertypes Vec (entity.rs:288-296): one row per
+    (type, supertype) from the parsed comma list."""
+    g = _graph(spark, sf_dir)
+    return g.nodes.filter(F.size("supertypes") > 0).select(
+        "id", F.explode("supertypes").alias("supertype")
+    )
+
+
+def q_var_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariableEntity typed payload (entity.rs:422-429): type_annotation
+    + value for Variable/Constant nodes."""
+    g = _graph(spark, sf_dir)
+    return g.nodes.filter(
+        F.col("entity_type").isin("Variable", "Constant")
+    ).select(
+        "id",
+        "entity_type",
+        "type_annotation",
+        F.col("detail").alias("value"),
+    )
+
+
+def q_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documentation attachment (P15, java.rs:790-856 analog): every
+    node whose documentation is non-empty — per-entity docs (nearest
+    following entity) and trailing-doc module docstrings."""
+    g = _graph(spark, sf_dir)
+    return g.nodes.filter(F.col("documentation") != "").select(
+        "id", "entity_type", "documentation"
+    )
+
+
 def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -341,6 +384,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_type_members": q_type_members,
     "kg_locations": q_locations,
     "kg_paths": q_paths,
+    "kg_fn_flags": q_fn_flags,
+    "kg_supertypes": q_supertypes,
+    "kg_var_annotations": q_var_annotations,
+    "kg_docs": q_docs,
     "kg_link_keys": q_link_keys,
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
@@ -427,7 +474,8 @@ concepts AS (
 anchors AS (
   SELECT DISTINCT c.name AS concept, n.id
   FROM concepts c JOIN all_nodes n
-    ON n.entity_type = 'Function' AND n.name = c.name AND n.doc_id = c.doc_id
+    ON n.entity_type IN ('Function','Class','Interface','Trait','Enum','Struct')
+   AND n.name = c.name AND n.doc_id = c.doc_id
 )"""
 
 ORACLES: dict[str, str] = {
@@ -437,8 +485,8 @@ ORACLES: dict[str, str] = {
     ),
     "kg_mentions": oracle.q(
         oracle.MENTIONS_CTES,
-        'SELECT doc_id, span_idx, mention_type, name, detail, media_ref, "offset" '
-        "FROM mentions",
+        'SELECT doc_id, span_idx, mention_type, name, detail, media_ref, "offset", '
+        "modifier, ret FROM mentions",
     ),
     "kg_nodes": oracle.q(
         oracle.GRAPH_CTES,
@@ -602,6 +650,43 @@ pfields AS (
             THEN trim(string_split(part, '=')[-1]) ELSE '' END AS default_value
 FROM pfields""",
     ),
+    # FunctionEntity flags + return_type (entity.rs:209-219) from the
+    # dialect's modifier / "->ret" markers
+    "kg_fn_flags": oracle.q(
+        oracle.NODES_CTES,
+        """SELECT id, modifier = 'async' AS is_async,
+       modifier = 'static' AS is_static,
+       modifier = 'abstract' AS is_abstract,
+       ret AS return_type
+FROM nodes WHERE entity_type = 'Function'""",
+    ),
+    # TypeEntity.supertypes Vec (entity.rs:288-296): comma list exploded
+    "kg_supertypes": oracle.q(
+        oracle.NODES_CTES,
+        """SELECT id, sup AS supertype FROM (
+  SELECT id, unnest(string_split(detail, ',')) AS sup
+  FROM nodes
+  WHERE entity_type IN ('Class','Interface','Trait','Enum','Struct')
+    AND detail <> ''
+) WHERE sup <> ''""",
+    ),
+    # VariableEntity typed payload (entity.rs:422-429): the raw
+    # ":annotation=value" remainder split exactly as build_nodes does
+    "kg_var_annotations": oracle.q(
+        oracle.NODES_CTES,
+        """SELECT id, entity_type,
+       coalesce(regexp_extract(detail, '^:([^=]*)', 1), '') AS type_annotation,
+       CASE WHEN contains(detail, '=') THEN string_split(detail, '=')[-1]
+            ELSE '' END AS value
+FROM nodes WHERE entity_type IN ('Variable','Constant')""",
+    ),
+    # Documentation attachment (P15): per-entity nearest-following-doc
+    # plus trailing-doc module docstrings
+    "kg_docs": oracle.q(
+        oracle.NODES_CTES,
+        "SELECT id, entity_type, documentation FROM nodes "
+        "WHERE documentation <> ''",
+    ),
     "uql_select_has": oracle.q(
         oracle.GRAPH_CTES,
         "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
@@ -642,10 +727,10 @@ WHERE c.id IS NULL OR c.canonical_id = n.id""",
     + """,
 seeds AS (
   SELECT id, name, doc_id,
-    (CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || ''), 'key')
+    (CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || documentation), 'key')
           THEN CAST(1.0 AS DOUBLE) + (CASE WHEN contains(lower(name), 'key') THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
           ELSE CAST(0.0 AS DOUBLE) END
-   + CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || ''), 'join')
+   + CASE WHEN contains(lower(name || ' ' || doc_id || ' ' || documentation), 'join')
           THEN CAST(1.0 AS DOUBLE) + (CASE WHEN contains(lower(name), 'join') THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
           ELSE CAST(0.0 AS DOUBLE) END) AS score
   FROM all_nodes

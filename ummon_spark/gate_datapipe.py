@@ -33,10 +33,27 @@ def q_doc_hashes(spark, sf_dir):
     return doc_hashes(_docs(spark, sf_dir))
 
 
+# The driver corpus has no byte-identical documents below sf0.1, so an
+# unsalted gate would be vacuous (0 rows proves nothing — VERDICT r2
+# what's-wrong #3). The gate therefore runs the operator over the corpus
+# PLUS deterministic copies of the first N_PLANTED docs under a
+# "dup::{id}" alias — exercising group formation AND the keep-first
+# (min doc_id) survivor policy. The oracle plants the same rows.
+N_PLANTED_DUPES = 5
+
+
 def q_exact_dupes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from .datapipe.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = docs.filter(F.col("doc_id").cast("bigint") < N_PLANTED_DUPES).select(
+        F.concat(F.lit("dup::"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    return exact_duplicate_groups(docs.unionByName(planted))
 
 
 def q_minhash_sigs(spark, sf_dir):
@@ -152,10 +169,34 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_all_pairs(docs, 3, 5)
 
 
+# The driver embeddings are near-random (max pairwise cosine ~0.51 at
+# sf0.01), so NO threshold both yields pairs and means "near-duplicate"
+# — an unsalted gate is vacuous (VERDICT r2 what's-wrong #3). The gate
+# therefore plants copies of the first N_PLANTED_VECS vectors under
+# vec_id + PLANTED_VEC_OFFSET: each planted copy is a true cosine-1.0
+# near-dup of its source, guaranteed into the same LSH bucket, so the
+# gate exercises bucketing, the dot/norm verify, AND the threshold on
+# non-empty output. The oracle plants the same rows.
+N_PLANTED_VECS = 5
+PLANTED_VEC_OFFSET = 1_000_000
+
+
+def _embs_planted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = embs.filter(F.col("vec_id") < N_PLANTED_VECS).select(
+        (F.col("vec_id") + PLANTED_VEC_OFFSET).alias("vec_id"), "embedding"
+    )
+    return embs.unionByName(planted)
+
+
 def q_cosine_near_dups(spark, sf_dir):
     from .datapipe.similarity import cosine_near_duplicates
 
-    return cosine_near_duplicates(_embs(spark, sf_dir), COS_THRESH_MILLI, dim=EMB_DIM)
+    return cosine_near_duplicates(
+        _embs_planted(spark, sf_dir), COS_THRESH_MILLI, dim=EMB_DIM
+    )
 
 
 BANDED_N_BANDS = 4
@@ -166,7 +207,7 @@ def q_cosine_near_dups_banded(spark, sf_dir):
     from .datapipe.similarity import cosine_near_duplicates_banded
 
     return cosine_near_duplicates_banded(
-        _embs(spark, sf_dir),
+        _embs_planted(spark, sf_dir),
         COS_THRESH_MILLI,
         n_bands=BANDED_N_BANDS,
         bits_per_band=BANDED_BITS,
@@ -287,6 +328,21 @@ qv AS (
   FROM embeddings
 )"""
 
+# near-dup gates run over the corpus + planted cosine-1.0 copies (see
+# q_cosine_near_dups)
+_Q_CTE_PLANTED = f"""
+qv AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT) + {PLANTED_VEC_OFFSET},
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))
+  FROM embeddings WHERE vec_id < {N_PLANTED_VECS}
+)"""
+
 
 def _plane_bit_sql(row: list[int], weight: int) -> str:
     """CASE term: `weight` if the signed projection onto one hyperplane
@@ -300,18 +356,18 @@ def _plane_bit_sql(row: list[int], weight: int) -> str:
     return f"CASE WHEN {proj} > 0 THEN {weight} ELSE 0 END"
 
 
-def _signs_cte() -> str:
+def _signs_cte(q_cte: str = _Q_CTE) -> str:
     planes = plane_weights(EMB_DIM, 8)
     bucket = " + ".join(
         _plane_bit_sql(row, 1 << p) for p, row in enumerate(planes)
     )
-    return _Q_CTE + f""",
+    return q_cte + f""",
 signs AS (
   SELECT vec_id, q, CAST({bucket} AS BIGINT) AS bucket FROM qv
 )"""
 
 
-def _banded_signs_cte(n_bands: int, bits_per_band: int) -> str:
+def _banded_signs_cte(n_bands: int, bits_per_band: int, q_cte: str = _Q_CTE) -> str:
     """bsigns: one bucket column per band, each from bits_per_band
     hyperplane sign bits — twin of similarity.banded_hyperplane_signs."""
     planes = plane_weights(EMB_DIM, n_bands * bits_per_band)
@@ -322,7 +378,7 @@ def _banded_signs_cte(n_bands: int, bits_per_band: int) -> str:
             for p in range(bits_per_band)
         )
         cols.append(f"CAST({bucket} AS BIGINT) AS bucket{j}")
-    return _Q_CTE + f""",
+    return q_cte + f""",
 bsigns AS (
   SELECT vec_id, q, {', '.join(cols)} FROM qv
 )"""
@@ -342,8 +398,13 @@ _T2 = (COS_THRESH_MILLI / 1000.0) ** 2
 
 ORACLES: dict[str, str] = {
     "dp_doc_hashes": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents",
-    "dp_exact_dupes": """SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
-FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents)
+    "dp_exact_dupes": f"""SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents
+  UNION ALL
+  SELECT concat('dup::', CAST(doc_id AS VARCHAR)), md5(text) FROM documents
+  WHERE doc_id < {N_PLANTED_DUPES}
+)
 GROUP BY content_hash HAVING COUNT(*) > 1""",
     "dp_minhash_sigs": f"WITH {SIGS_CTE}\nSELECT * FROM sigs",
     "dp_minhash_pairs": f"""WITH {PAIRS_CTE}
@@ -518,7 +579,7 @@ SELECT vec_id, dot FROM (
     AND a.centroid IN (SELECT cid FROM probes)
 )
 ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
-    "dp_cosine_near_dups": f"""WITH {_signs_cte()}
+    "dp_cosine_near_dups": f"""WITH {_signs_cte(_Q_CTE_PLANTED)}
 SELECT a, b, dot, na2, nb2 FROM (
   SELECT x.vec_id AS a, y.vec_id AS b,
          {_dot_sql('x.q', 'y.q')} AS dot,
@@ -540,7 +601,7 @@ WHERE vec_id <> {ANN_QUERY_VEC}
   AND list_contains(
         [qb{''.join(f', xor(qb, {1 << p})' for p in range(8))}], bucket)
 ORDER BY dot DESC, vec_id LIMIT {ANN_K}""",
-    "dp_cosine_near_dups_banded": f"""WITH {_banded_signs_cte(BANDED_N_BANDS, BANDED_BITS)},
+    "dp_cosine_near_dups_banded": f"""WITH {_banded_signs_cte(BANDED_N_BANDS, BANDED_BITS, _Q_CTE_PLANTED)},
 bcands AS (
 {chr(10).join(('  UNION' + chr(10) if j else '') + f'  SELECT x.vec_id AS a, y.vec_id AS b FROM bsigns x JOIN bsigns y ON x.bucket{j} = y.bucket{j} AND x.vec_id < y.vec_id' for j in range(BANDED_N_BANDS))}
 )

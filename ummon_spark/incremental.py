@@ -70,36 +70,49 @@ def incremental_update(
     """Prune + rebuild changed docs + merge; returns the new graph.
 
     changed_spans: the spans table restricted to modified/new docs.
+
+    Doc-scoped ids can't collide between kept and fresh (prune removed
+    every modified doc), so those rows merge by plain union. MEDIA ids
+    are CROSS-doc (id = "media::{ref}"): the stored node is only the
+    last-wins WINNER row, so when the winner's document is pruned, the
+    runner-up candidate from a surviving document is not recoverable
+    from the node table — it must be re-derived from the mention table
+    (the same place the full build gets it). The media slice is
+    therefore rebuilt from surviving + fresh Media mentions; at scale
+    that slice is a small fraction of the (materialized) mention table
+    and one hash-agg.
     """
+    from .operators.nodes import build_nodes
+
     modified = changed_spans.select("doc_id").distinct()
     kept_nodes, kept_edges = prune(old.nodes, old.edges, modified)
     fresh = build_graph(changed_spans, persist=persist)
 
-    # merge with the same deterministic dedupe the full build uses.
-    # Doc-scoped ids can't collide between kept and fresh (prune removed
-    # every modified doc), but MEDIA ids are cross-doc: the same
-    # media::ref can surface from both sides, so the merged node set
-    # re-runs last-wins by (doc_id, offset) — the span offset is
-    # strictly increasing within a doc (FIXTURES invariant), so this
-    # ordering equals the full build's (doc_id, span_idx).
-    from pyspark.sql import Window
-
     edges = kept_edges.unionByName(fresh.edges)
-    merged = kept_nodes.unionByName(fresh.nodes.filter(F.col("doc_id") != ""))
-    w = Window.partitionBy("id").orderBy(
-        F.col("doc_id").desc(), F.col("location.start.offset").desc()
+    is_media = F.col("entity_type") == "Media"
+    media_mentions = (
+        old.mentions.filter(F.col("mention_type") == "Media")
+        .join(modified, "doc_id", "left_anti")
+        .unionByName(fresh.mentions.filter(F.col("mention_type") == "Media"))
     )
+    spark = changed_spans.sparkSession
+    no_docs = spark.createDataFrame([], changed_spans.schema)
+    media_nodes = build_nodes(media_mentions, no_docs)
     real_nodes = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        kept_nodes.filter(~is_media)
+        .unionByName(fresh.nodes.filter((F.col("doc_id") != "") & ~is_media))
+        .unionByName(media_nodes)
     )
     placeholders = synthesize_placeholders(edges, real_nodes)
     nodes = real_nodes.unionByName(placeholders)
     if persist:
         nodes = nodes.persist()
         edges = edges.persist()
-    return Graph(nodes=nodes, edges=edges, mentions=fresh.mentions)
+    mentions = (
+        old.mentions.join(modified, "doc_id", "left_anti")
+        .unionByName(fresh.mentions)
+    )
+    return Graph(nodes=nodes, edges=edges, mentions=mentions)
 
 
 def modified_since(documents: DataFrame, checkpoint_ts: str, ts_col: str = "modified_at") -> DataFrame:

@@ -123,19 +123,22 @@ def candidate_edges(mentions: DataFrame) -> DataFrame:
 
     # supertype pred by SOURCE kind (index.rs:410-418): Class and Struct
     # produce Inherits; Interface/Trait/Enum produce Implements. Both
-    # share the unprefixed-source quirk (see module docstring).
+    # share the unprefixed-source quirk (see module docstring). detail
+    # is a comma-joined supertype LIST (entity.rs:288-296 Vec): one edge
+    # per non-empty entry (index.rs:400-427 loops the supertypes).
     super_pred = F.when(
         mt.isin("Class", "Struct"), F.lit("inherits")
     ).otherwise(F.lit("implements"))
-    type_cands = F.when(
-        detail != "",
-        F.array(
-            c(doc, "defines", cls_id),
-            F.struct(
-                fn_id.alias("subj"), super_pred.alias("pred"), detail.alias("obj")
+    sups = F.filter(F.split(detail, ","), lambda x: x != "")
+    type_cands = F.concat(
+        F.array(c(doc, "defines", cls_id)),
+        F.transform(
+            sups,
+            lambda s: F.struct(
+                fn_id.alias("subj"), super_pred.alias("pred"), s.alias("obj")
             ),
         ),
-    ).otherwise(F.array(c(doc, "defines", cls_id)))
+    )
     cands = (
         F.when(mt == "Function", F.array(c(doc, "defines", fn_id)))
         .when(mt.isin(*TYPE_MENTIONS), type_cands)

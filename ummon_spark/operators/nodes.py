@@ -195,6 +195,8 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
                 "containing_entity"
             ),
             F.col("detail"),
+            F.col("modifier"),
+            F.col("ret"),
             F.col("offset"),
             doc.alias("_ord_doc"),
             F.col("span_idx").alias("_ord_idx"),
@@ -224,6 +226,8 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             "doc_id",
             F.lit("").alias("containing_entity"),
             F.coalesce(F.col("_doc_text"), F.lit("")).alias("detail"),
+            F.lit("").alias("modifier"),
+            F.lit("").alias("ret"),
             F.lit(-1).cast("long").alias("offset"),
             F.col("doc_id").alias("_ord_doc"),
             F.lit(-1).cast("long").alias("_ord_idx"),
@@ -233,29 +237,59 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
 
     candidates = entities.unionByName(modules, allowMissingColumns=False)
     deduped = _dedupe_last_wins(candidates)
+    et = F.col("entity_type")
+    is_fn = et == "Function"
+    is_value = et.isin("Variable", "Constant")
+    is_type = et.isin(*type_kinds)
+    # Variable/Constant detail is the raw ":annotation=value" remainder;
+    # split it into the typed payload (entity.rs:422-429)
+    value = F.when(
+        F.col("detail").contains("="), F.substring_index(F.col("detail"), "=", -1)
+    ).otherwise(F.lit(""))
+    annotation = F.regexp_extract(F.col("detail"), r"^:([^=]*)", 1)
     return deduped.select(
         "id",
         "name",
         "entity_type",
         "doc_id",
         "containing_entity",
-        F.when(F.col("entity_type") == "Module", F.col("detail"))
+        F.when(et == "Module", F.col("detail"))
         .otherwise(F.col("_edoc"))
         .alias("documentation"),
-        F.when(F.col("entity_type") != "Module", F.col("detail"))
+        F.when(is_value, value)
+        .when(et != "Module", F.col("detail"))
         .otherwise(F.lit(""))
         .alias("detail"),
-        # typed payload (entity.rs:209-219): parameters parsed from the
-        # def's paren contents; the dialect has no return annotation, so
-        # return_type is '' (Option::None analog)
-        F.when(
-            F.col("entity_type") == "Function", parse_parameters(F.col("detail"))
-        )
+        # typed payloads (entity.rs:209-219): parameters parsed from the
+        # def's paren contents; return_type from the "->ret" annotation;
+        # flags from the modifier marker
+        F.when(is_fn, parse_parameters(F.col("detail")))
         .otherwise(F.lit(None).cast(EMPTY_PARAMS))
         .alias("parameters"),
-        F.when(F.col("entity_type") == "Function", F.lit(""))
+        F.when(is_fn, F.col("ret"))
         .otherwise(F.lit(None).cast("string"))
         .alias("return_type"),
+        F.when(is_fn, F.col("modifier") == "async")
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("is_async"),
+        F.when(is_fn, F.col("modifier") == "static")
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("is_static"),
+        F.when(is_fn, F.col("modifier") == "abstract")
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("is_abstract"),
+        # VariableEntity type_annotation (entity.rs:422-429)
+        F.when(is_value, annotation)
+        .otherwise(F.lit(None).cast("string"))
+        .alias("type_annotation"),
+        # TypeEntity supertypes Vec (entity.rs:288-296): the comma list
+        # parsed to an array, one inherits/implements edge each (edges.py)
+        F.when(
+            is_type,
+            F.filter(F.split(F.col("detail"), ","), lambda x: x != ""),
+        )
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("supertypes"),
         # Location (entity.rs:6-23): {start,end} x {line,column,offset},
         # measured in the dialect's span units on a single line
         F.struct(
@@ -359,6 +393,11 @@ def synthesize_placeholders(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         F.lit("").alias("detail"),
         F.lit(None).cast(EMPTY_PARAMS).alias("parameters"),
         F.lit(None).cast("string").alias("return_type"),
+        F.lit(None).cast("boolean").alias("is_async"),
+        F.lit(None).cast("boolean").alias("is_static"),
+        F.lit(None).cast("boolean").alias("is_abstract"),
+        F.lit(None).cast("string").alias("type_annotation"),
+        F.lit(None).cast("array<string>").alias("supertypes"),
         F.lit(None).cast(LOCATION_DDL).alias("location"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )

@@ -17,18 +17,28 @@ Two implementations with identical semantics:
   implementation; property-tested equal to the fast path.
 
 Mention dialect (FIXTURES.md §1):
-  def    "name(params)"        -> Function(name, detail=params)
-  class  "Name(Super)"         -> Class(name, detail=supertype or '')
+  def    "[MOD ]name(params)[->ret]"
+                               -> Function(name, detail=params,
+                                  modifier=MOD (async|static|abstract)
+                                  or '', ret=return annotation or '' —
+                                  entity.rs:209-219 is_async/is_static/
+                                  is_abstract + return_type payloads)
+  class  "Name(S1[,S2...])"    -> Class(name, detail=comma-joined
+                                  supertype list or '' — multiple
+                                  supertypes, entity.rs:288-296 Vec)
   interface/trait/enum         -> Interface/Trait/Enum, class-shaped
-         "Name(Super)"            (entity.rs:69-86 type breadth; their
+         "Name(S...)"             (entity.rs:69-86 type breadth; their
                                   supertype edges are `implements` —
                                   index.rs:410-418: only Class/Struct
                                   sources produce Inherits)
-  struct "Name(Super)"         -> Struct, class-shaped (its supertype
+  struct "Name(S...)"          -> Struct, class-shaped (its supertype
                                   edge is `inherits`: index.rs:410-416
                                   covers Class AND Struct)
-  var    "name[=value]"        -> Variable(name, detail=value or '')
-  const  "name[=value]"        -> Constant(name, detail=value or '')
+  var    "name[:type][=value]" -> Variable(name, detail=the raw
+                                  ":type=value" remainder; the node
+                                  build splits it into type_annotation
+                                  + value — entity.rs:422-429)
+  const  "name[=value]"        -> Constant(name, detail=remainder)
   call   "callee"|"qual.callee"-> CallSite(last-segment name,
                                   detail=fqn iff dotted — the reference
                                   sets FQN only when the call text
@@ -79,6 +89,10 @@ def explode_spans(spans_df: DataFrame) -> DataFrame:
     )
 
 
+MODIFIER_RE = r"^(async|static|abstract) "
+RETURN_RE = r"\)->(.*)$"
+
+
 def parse_mentions(spans_df: DataFrame) -> DataFrame:
     """Fast path: spans -> mentions via JVM-side expressions only."""
     s = explode_spans(spans_df)
@@ -100,26 +114,31 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
         .when(is_media, "Media")
         .when(k == "doc", "Doc")
     )
+    # def text may carry "MOD " prefix and "->ret" suffix; strip both
+    # around the name. Var/const name stops at the first ':' or '='; the
+    # detail keeps the raw remainder (":type=value") for the node build.
+    stripped = F.regexp_replace(text, MODIFIER_RE, "")
     name = (
-        F.when(paren_like, F.substring_index(text, "(", 1))
+        F.when(paren_like, F.substring_index(stripped, "(", 1))
         .when(k == "call", F.substring_index(text, ".", -1))
         .when(k == "import", text)
-        .when(value_like, F.substring_index(text, "=", 1))
+        .when(value_like, F.substring_index(F.substring_index(text, "=", 1), ":", 1))
         .when(is_media, F.col("media_ref"))
         .otherwise(F.lit(""))
     )
     detail = (
         F.when(paren_like, F.regexp_extract(text, r"\(([^)]*)\)", 1))
         .when(k == "call", F.when(dotted, text).otherwise(F.lit("")))
-        .when(
-            value_like,
-            F.when(text.contains("="), F.substring_index(text, "=", -1)).otherwise(
-                F.lit("")
-            ),
-        )
+        .when(value_like, F.regexp_replace(text, r"^[^:=]*", ""))
         .when(is_media, F.col("media_ref"))
         .when(k == "doc", text)
         .otherwise(F.lit(""))
+    )
+    modifier = F.when(k == "def", F.regexp_extract(text, MODIFIER_RE, 1)).otherwise(
+        F.lit("")
+    )
+    ret = F.when(k == "def", F.regexp_extract(text, RETURN_RE, 1)).otherwise(
+        F.lit("")
     )
     return (
         s.withColumn("mention_type", mention_type)
@@ -132,6 +151,8 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
             detail.alias("detail"),
             "media_ref",
             "offset",
+            modifier.alias("modifier"),
+            ret.alias("ret"),
         )
     )
 
@@ -171,26 +192,36 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     paren_like = k.isin(("def",) + tuple(_TYPE_KINDS))
     value_like = k.isin(("var", "const"))
-    before_paren = text.str.split("(", n=1).str[0]
+    stripped = text.str.replace(MODIFIER_RE, "", regex=True)
+    before_paren = stripped.str.split("(", n=1).str[0]
     in_paren = text.str.extract(r"\(([^)]*)\)", expand=False).fillna("")
     last_seg = text.str.rsplit(".", n=1).str[-1]
-    before_eq = text.str.split("=", n=1).str[0]
-    after_last_eq = text.str.rsplit("=", n=1).str[-1]
-    has_eq = text.str.contains("=", regex=False)
+    # var/const: name = before the first ':' or '='; detail = the raw
+    # remainder incl. separators (":type=value" / "=value" / "")
+    value_name = text.str.split("=", n=1).str[0].str.split(":", n=1).str[0]
+    value_rest = text.str.replace(r"^[^:=]*", "", regex=True)
 
     name = pd.Series("", index=pdf.index, dtype=object)
     name = name.mask(paren_like, before_paren)
     name = name.mask(k == "call", last_seg)
     name = name.mask(k == "import", text)
-    name = name.mask(value_like, before_eq)
+    name = name.mask(value_like, value_name)
     name = name.mask(is_media, media)
 
     detail = pd.Series("", index=pdf.index, dtype=object)
     detail = detail.mask(paren_like, in_paren)
     detail = detail.mask((k == "call") & dotted, text)
-    detail = detail.mask(value_like & has_eq, after_last_eq)
+    detail = detail.mask(value_like, value_rest)
     detail = detail.mask(is_media, media)
     detail = detail.mask(k == "doc", text)
+
+    is_def = k == "def"
+    modifier = pd.Series("", index=pdf.index, dtype=object)
+    modifier = modifier.mask(
+        is_def, text.str.extract(MODIFIER_RE, expand=False).fillna("")
+    )
+    ret = pd.Series("", index=pdf.index, dtype=object)
+    ret = ret.mask(is_def, text.str.extract(RETURN_RE, expand=False).fillna(""))
 
     return pd.DataFrame(
         {
@@ -201,6 +232,8 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "detail": detail,
             "media_ref": media,
             "offset": pdf["offset"],
+            "modifier": modifier,
+            "ret": ret,
         }
     )
 

@@ -48,15 +48,34 @@ MENTIONS = T.StructType(
         T.StructField("span_idx", T.LongType(), False),
         T.StructField("mention_type", T.StringType(), False),
         T.StructField("name", T.StringType(), False),
-        # single free-form payload: fqn for CallSite, supertype for Class,
-        # params for Function, module path for Import, media_ref for Media
+        # single free-form payload: fqn for CallSite, supertype list for
+        # type kinds, params for Function, module path for Import,
+        # media_ref for Media, ":annotation=value" remainder for
+        # Variable/Constant, prose for Doc
         T.StructField("detail", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("offset", T.LongType(), False),
+        # Function-only payloads (entity.rs:209-219): the async/static/
+        # abstract marker and the "->ret" return annotation; '' elsewhere
+        T.StructField("modifier", T.StringType(), False),
+        T.StructField("ret", T.StringType(), False),
     ]
 )
 
-MENTION_TYPES = ("Function", "Class", "CallSite", "Import", "Media", "Doc")
+MENTION_TYPES = (
+    "Function",
+    "Class",
+    "Interface",
+    "Trait",
+    "Enum",
+    "Struct",
+    "Variable",
+    "Constant",
+    "CallSite",
+    "Import",
+    "Media",
+    "Doc",
+)
 
 # ---------------------------------------------------------------------------
 # Output: nodes + edges (the property graph; reference entities /
