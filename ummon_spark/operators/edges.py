@@ -195,21 +195,22 @@ def build_edges(
     """
     if checked is None:
         checked = checked_candidates(mentions, nodes)
-    # first-wins by (doc_id, span_idx) via min_by: hash aggregation
-    # (map-side partial, no sort) instead of a row_number window
-    with_id = checked.withColumn(
-        "id", F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred")
-    )
+    # first-wins by (doc_id, span_idx) via min_by. The dedupe key is the
+    # TRIPLE itself, not the concatenated id: the id is a pure function
+    # of (subj, pred, obj) (relationship.rs:89-105), so grouping by the
+    # triple is equivalent — and the ~50-byte derived id string stays
+    # out of the shuffle (recomputed after the agg). At 100 TB the edge
+    # dedupe is the biggest shuffle in the build; row width is the cost.
     ord_key = F.struct(F.col("doc_id"), F.col("span_idx"))
-    agg = with_id.groupBy("id").agg(
-        F.min_by(F.struct("subj", "pred", "obj", "doc_id"), ord_key).alias("_win")
+    agg = checked.groupBy("subj", "pred", "obj").agg(
+        F.min_by(F.col("doc_id"), ord_key).alias("src_partition")
     )
     return agg.select(
-        "id",
-        F.col("_win.subj").alias("subj"),
-        F.col("_win.pred").alias("pred"),
-        F.col("_win.obj").alias("obj"),
+        F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred").alias("id"),
+        "subj",
+        "pred",
+        "obj",
         F.lit(1.0).alias("weight"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
-        F.col("_win.doc_id").alias("src_partition"),
+        "src_partition",
     )

@@ -236,10 +236,12 @@ edge_cands AS (
   FROM mentions WHERE mention_type = 'Media'
 ),
 edges AS (
+  -- dedupe key = the triple itself (the id is a pure function of it,
+  -- relationship.rs:89-105; lockstep with edges.build_edges)
   SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj
   FROM (
     SELECT c.*, row_number() OVER (
-      PARTITION BY concat(c.subj, '->', c.obj, '::', c.pred)
+      PARTITION BY c.subj, c.pred, c.obj
       ORDER BY c.doc_id, c.span_idx) AS rn
     FROM edge_cands c
     WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.id = c.subj)

@@ -55,6 +55,13 @@ ALLOWED_ATTRS = {
     "file_path": "doc_id",
     "documentation": "documentation",
     "id": "id",
+    # extensions beyond the reference whitelist (db_executor.rs:11):
+    # the typed Function/Variable payloads are real columns here, so
+    # "async functions"-class queries are expressible ("select
+    # functions where has return_type", "... where type_annotation =
+    # 'int'"). Booleans compare as their string forms via `=`.
+    "return_type": "return_type",
+    "type_annotation": "type_annotation",
 }
 
 BOTH_DIRECTION_RELS = {"relates_to"}  # + Other(...) below, db_executor.rs:75-77
