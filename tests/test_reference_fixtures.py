@@ -279,3 +279,37 @@ def test_struct_constant_field_breadth(spark):
     assert {r["id"] for r in structs.collect()} == {"type::s.rs::Point"}
     consts = execute_query(g.nodes, g.edges, "select constants")
     assert {r["id"] for r in consts.collect()} == {"s.rs::const::MAX"}
+
+
+def test_generic_type_parameters(spark):
+    """GenericParameter payload (language_support/mod.rs:161-165;
+    extraction java.rs:116-204 / rust.rs:214-326): '<...>' lists parse
+    to (name, bounds, default_type) structs; the name excludes the
+    generic list; empty param names are skipped (java.rs:169)."""
+    rows = [
+        (
+            "g.py",
+            [
+                ("class", "Box<T>(Base)", "", 0),
+                ("interface", "List<E:Cmp&Ser>()", "", 1),
+                ("trait", "Conv<K=Str,V>()", "", 2),
+                ("struct", "Pair<:bad,X>()", "", 3),  # empty name skipped
+                ("enum", "Plain(Root)", "", 4),
+            ],
+        )
+    ]
+    g = build_graph(make(spark, rows), persist=False)
+    nodes = {r["id"]: r for r in g.nodes.collect()}
+    # generic list never leaks into the name / id
+    assert "type::g.py::Box" in nodes
+    box = [tuple(p) for p in nodes["type::g.py::Box"]["type_params"]]
+    assert box == [("T", [], "")]
+    lst = [tuple(p) for p in nodes["type::g.py::List"]["type_params"]]
+    assert lst == [("E", ["Cmp", "Ser"], "")]
+    conv = [tuple(p) for p in nodes["type::g.py::Conv"]["type_params"]]
+    assert conv == [("K", [], "Str"), ("V", [], "")]
+    pair = [tuple(p) for p in nodes["type::g.py::Pair"]["type_params"]]
+    assert pair == [("X", [], "")]
+    assert nodes["type::g.py::Plain"]["type_params"] == []
+    # supertype parsing is unchanged by the generic list
+    assert list(nodes["type::g.py::Box"]["supertypes"]) == ["Base"]

@@ -33,10 +33,13 @@ forms so both variants of each kind occur in every corpus):
                                  supertypes) else "nxt"
   6   import     "lib.tok"
   8   image      ""              media_ref = "img_" + tok
-  10  interface  "tok(nxt)"
-  12  trait      "tok(nxt)"
-  14  enum       "tok(nxt)"
-  16  struct     "tok(nxt)"
+  10  interface  "tok<nx2>(nxt)" when cyc odd (generic param) else
+                 "tok(nxt)"
+  12  trait      "tok<nx2=nx3>(nxt)" when cyc odd (defaulted generic
+                 param) else "tok(nxt)"
+  14  enum       "tok<nx2:nx3>(nxt)" when cyc odd (bounded generic
+                 param) else "tok(nxt)"
+  16  struct     same as enum
   18  var        "tok:nxt=nx2"   (name:type_annotation=value)
   19  const      "tok=nxt"       (name=value)
   20  doc        "tok nxt"       (documentation prose)
@@ -102,7 +105,28 @@ def _span_struct(toks: Column, i: Column) -> Column:
         .when(m == 2, F.when(cyc_odd, F.concat(prv, F.lit("."), tok)).otherwise(tok))
         .when(m == 4, paren(tok, cls_sups))
         .when(m == 6, F.concat(F.lit("lib."), tok))
-        .when(m.isin(10, 12, 14, 16), paren(tok, nxt))
+        .when(
+            m.isin(10, 12, 14, 16),
+            F.concat(
+                tok,
+                # generic-parameter list on the odd cycles: plain name
+                # for interface/trait, ':'-bounded for enum/struct
+                # (GenericParameter shapes, java.rs:116-204)
+                F.when(cyc_odd & (m == 10), F.concat(F.lit("<"), nx2, F.lit(">")))
+                .when(
+                    cyc_odd & (m == 12),
+                    F.concat(F.lit("<"), nx2, F.lit("="), nx3, F.lit(">")),
+                )
+                .when(
+                    cyc_odd & m.isin(14, 16),
+                    F.concat(F.lit("<"), nx2, F.lit(":"), nx3, F.lit(">")),
+                )
+                .otherwise(F.lit("")),
+                F.lit("("),
+                nxt,
+                F.lit(")"),
+            ),
+        )
         .when(m == 18, F.concat(tok, F.lit(":"), nxt, F.lit("="), nx2))
         .when(m == 19, F.concat(tok, F.lit("="), nxt))
         .when(m == 20, F.concat(tok, F.lit(" "), nxt))
@@ -185,7 +209,14 @@ def synthesize_rows(n_docs: int, seed: int = 42) -> list[tuple[str, list[tuple]]
             elif r < 0.38:
                 kind = rng.choice(("interface", "trait", "enum", "struct"))
                 sup = w() if rng.random() < 0.5 else ""
-                spans.append((kind, f"{w()}({sup})", "", offset))
+                gen = rng.random()
+                tp = (
+                    f"<{w()}:{w()}&{w()}>" if gen < 0.2
+                    else f"<{w()},{w()}={w()}>" if gen < 0.4
+                    else f"<{w()}>" if gen < 0.6
+                    else ""
+                )
+                spans.append((kind, f"{w()}{tp}({sup})", "", offset))
             elif r < 0.44:
                 kind = rng.choice(("var", "var", "const"))
                 val = f"={w()}" if rng.random() < 0.5 else ""

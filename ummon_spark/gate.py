@@ -225,12 +225,40 @@ def q_fn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_supertypes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TypeEntity.supertypes Vec (entity.rs:288-296): one row per
-    (type, supertype) from the parsed comma list."""
+    """TypeEntity payloads flattened to (id, part, value) rows:
+    supertypes Vec (entity.rs:288-296) plus GenericParameter names and
+    bounds (mod.rs:161-165; extraction java.rs:116-204). Bound rows
+    carry 'name:bound' so each bound stays tied to its parameter."""
     g = _graph(spark, sf_dir)
-    return g.nodes.filter(F.size("supertypes") > 0).select(
-        "id", F.explode("supertypes").alias("supertype")
+    sups = g.nodes.filter(F.size("supertypes") > 0).select(
+        "id",
+        F.lit("supertype").alias("part"),
+        F.explode("supertypes").alias("value"),
     )
+    tp = g.nodes.filter(F.size("type_params") > 0).select(
+        "id", F.explode("type_params").alias("p")
+    )
+    names = tp.select(
+        "id", F.lit("type_param").alias("part"), F.col("p.name").alias("value")
+    )
+    bounds = tp.select(
+        "id",
+        F.lit("bound").alias("part"),
+        F.explode(
+            F.transform(
+                F.col("p.bounds"),
+                lambda b: F.concat(F.col("p.name"), F.lit(":"), b),
+            )
+        ).alias("value"),
+    )
+    defaults = tp.filter(F.col("p.default_type") != "").select(
+        "id",
+        F.lit("default").alias("part"),
+        F.concat(F.col("p.name"), F.lit("="), F.col("p.default_type")).alias(
+            "value"
+        ),
+    )
+    return sups.unionByName(names).unionByName(bounds).unionByName(defaults)
 
 
 def q_var_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +514,7 @@ ORACLES: dict[str, str] = {
     "kg_mentions": oracle.q(
         oracle.MENTIONS_CTES,
         'SELECT doc_id, span_idx, mention_type, name, detail, media_ref, "offset", '
-        "modifier, ret FROM mentions",
+        "modifier, ret, tparams FROM mentions",
     ),
     "kg_nodes": oracle.q(
         oracle.GRAPH_CTES,
@@ -660,15 +688,45 @@ FROM pfields""",
        ret AS return_type
 FROM nodes WHERE entity_type = 'Function'""",
     ),
-    # TypeEntity.supertypes Vec (entity.rs:288-296): comma list exploded
+    # TypeEntity payloads: supertypes Vec (entity.rs:288-296) + generic
+    # parameter names/bounds (mod.rs:161-165) from the raw tparams list
     "kg_supertypes": oracle.q(
-        oracle.NODES_CTES,
-        """SELECT id, sup AS supertype FROM (
+        oracle.NODES_CTES
+        + """,
+tpl AS (
+  SELECT id, trim(x) AS p FROM (
+    SELECT id, unnest(string_split(tparams, ',')) AS x
+    FROM nodes
+    WHERE entity_type IN ('Class','Interface','Trait','Enum','Struct')
+      AND tparams <> ''
+  ) WHERE trim(x) <> ''
+),
+tps AS (
+  SELECT id,
+         trim(split_part(string_split(p, '=')[1], ':', 1)) AS pname,
+         CASE WHEN contains(string_split(p, '=')[1], ':')
+              THEN string_split(string_split(p, '=')[1], ':')[-1]
+              ELSE '' END AS bounds_str,
+         CASE WHEN contains(p, '=')
+              THEN trim(string_split(p, '=')[-1]) ELSE '' END AS dflt
+  FROM tpl
+)""",
+        """SELECT id, 'supertype' AS part, sup AS value FROM (
   SELECT id, unnest(string_split(detail, ',')) AS sup
   FROM nodes
   WHERE entity_type IN ('Class','Interface','Trait','Enum','Struct')
     AND detail <> ''
-) WHERE sup <> ''""",
+) WHERE sup <> ''
+UNION ALL
+SELECT id, 'type_param', pname FROM tps WHERE pname <> ''
+UNION ALL
+SELECT id, 'bound', concat(pname, ':', trim(b)) FROM (
+  SELECT id, pname, unnest(string_split(bounds_str, '&')) AS b
+  FROM tps WHERE pname <> '' AND bounds_str <> ''
+) WHERE trim(b) <> ''
+UNION ALL
+SELECT id, 'default', concat(pname, '=', dflt)
+FROM tps WHERE pname <> '' AND dflt <> ''""",
     ),
     # VariableEntity typed payload (entity.rs:422-429): the raw
     # ":annotation=value" remainder split exactly as build_nodes does

@@ -164,6 +164,53 @@ def parse_parameters(detail):
     return F.transform(parts, to_struct)
 
 
+EMPTY_TYPE_PARAMS = "array<struct<name:string,bounds:array<string>,default_type:string>>"
+
+
+def parse_type_params(tparams):
+    """Raw '<...>' contents -> array<struct<name,bounds,default_type>>,
+    mirroring the reference's GenericParameter payload
+    (language_support/mod.rs:161-165; extraction java.rs:116-204 /
+    rust.rs:214-326 shapes: "T", "T:Bound", "T:B1&B2", "T=Default").
+    Pure Spark SQL expressions — no Python, stays in codegen.
+
+    Grammar per comma-separated part:
+      default_type = text after the LAST '=' (if any), trimmed
+      name[:bounds] = text before the FIRST '='
+      bounds        = '&'-separated list after the first ':', trimmed
+      name          = before the first ':'; empty names are skipped
+                      (java.rs:169 skips empty parameter names)
+    """
+    parts = F.filter(
+        F.transform(F.split(tparams, ","), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def to_struct(part):
+        rest = F.trim(F.substring_index(part, "=", 1))
+        default = F.when(
+            part.contains("="), F.trim(F.substring_index(part, "=", -1))
+        ).otherwise(F.lit(""))
+        bounds = F.when(
+            rest.contains(":"),
+            F.filter(
+                F.transform(
+                    F.split(F.substring_index(rest, ":", -1), "&"),
+                    lambda b: F.trim(b),
+                ),
+                lambda b: b != "",
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pname = F.trim(F.substring_index(rest, ":", 1))
+        return F.struct(
+            pname.alias("name"),
+            bounds.alias("bounds"),
+            default.alias("default_type"),
+        )
+
+    return F.filter(F.transform(parts, to_struct), lambda s: s["name"] != "")
+
+
 def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     """Mentions + document ids -> nodes table (before placeholders).
 
@@ -210,6 +257,7 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             F.col("detail"),
             F.col("modifier"),
             F.col("ret"),
+            F.col("tparams"),
             F.col("offset"),
         )
         # per-entity documentation: the Doc span immediately preceding
@@ -240,6 +288,7 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
             F.coalesce(F.col("_doc_text"), F.lit("")).alias("detail"),
             F.lit("").alias("modifier"),
             F.lit("").alias("ret"),
+            F.lit("").alias("tparams"),
             F.lit(-1).cast("long").alias("offset"),
             F.lit("").alias("_edoc"),
         )
@@ -300,6 +349,11 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(None).cast("array<string>"))
         .alias("supertypes"),
+        # TypeEntity generic parameters (GenericParameter payload,
+        # mod.rs:161-165): parsed from the '<...>' list
+        F.when(is_type, parse_type_params(F.col("tparams")))
+        .otherwise(F.lit(None).cast(EMPTY_TYPE_PARAMS))
+        .alias("type_params"),
         # Location (entity.rs:6-23): {start,end} x {line,column,offset},
         # measured in the dialect's span units on a single line
         F.struct(
@@ -408,6 +462,7 @@ def synthesize_placeholders(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         F.lit(None).cast("boolean").alias("is_abstract"),
         F.lit(None).cast("string").alias("type_annotation"),
         F.lit(None).cast("array<string>").alias("supertypes"),
+        F.lit(None).cast(EMPTY_TYPE_PARAMS).alias("type_params"),
         F.lit(None).cast(LOCATION_DDL).alias("location"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )

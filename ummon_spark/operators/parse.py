@@ -23,9 +23,14 @@ Mention dialect (FIXTURES.md §1):
                                   or '', ret=return annotation or '' —
                                   entity.rs:209-219 is_async/is_static/
                                   is_abstract + return_type payloads)
-  class  "Name(S1[,S2...])"    -> Class(name, detail=comma-joined
+  class  "Name[<G...>](S1[,S2...])"
+                               -> Class(name, detail=comma-joined
                                   supertype list or '' — multiple
-                                  supertypes, entity.rs:288-296 Vec)
+                                  supertypes, entity.rs:288-296 Vec;
+                                  tparams=raw '<>' generic-param list —
+                                  GenericParameter, language_support/
+                                  mod.rs:161-165, extraction
+                                  java.rs:116-204 / rust.rs:214-326)
   interface/trait/enum         -> Interface/Trait/Enum, class-shaped
          "Name(S...)"             (entity.rs:69-86 type breadth; their
                                   supertype edges are `implements` —
@@ -91,6 +96,7 @@ def explode_spans(spans_df: DataFrame) -> DataFrame:
 
 MODIFIER_RE = r"^(async|static|abstract) "
 RETURN_RE = r"\)->(.*)$"
+TPARAMS_RE = r"<([^>]*)>"
 
 
 def parse_mentions(spans_df: DataFrame) -> DataFrame:
@@ -119,7 +125,10 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
     # detail keeps the raw remainder (":type=value") for the node build.
     stripped = F.regexp_replace(text, MODIFIER_RE, "")
     name = (
-        F.when(paren_like, F.substring_index(stripped, "(", 1))
+        F.when(
+            paren_like,
+            F.substring_index(F.substring_index(stripped, "(", 1), "<", 1),
+        )
         .when(k == "call", F.substring_index(text, ".", -1))
         .when(k == "import", text)
         .when(value_like, F.substring_index(F.substring_index(text, "=", 1), ":", 1))
@@ -140,6 +149,9 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
     ret = F.when(k == "def", F.regexp_extract(text, RETURN_RE, 1)).otherwise(
         F.lit("")
     )
+    tparams = F.when(
+        k.isin(*_TYPE_KINDS), F.regexp_extract(text, TPARAMS_RE, 1)
+    ).otherwise(F.lit(""))
     return (
         s.withColumn("mention_type", mention_type)
         .filter(F.col("mention_type").isNotNull())
@@ -153,6 +165,7 @@ def parse_mentions(spans_df: DataFrame) -> DataFrame:
             "offset",
             modifier.alias("modifier"),
             ret.alias("ret"),
+            tparams.alias("tparams"),
         )
     )
 
@@ -193,7 +206,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     paren_like = k.isin(("def",) + tuple(_TYPE_KINDS))
     value_like = k.isin(("var", "const"))
     stripped = text.str.replace(MODIFIER_RE, "", regex=True)
-    before_paren = stripped.str.split("(", n=1).str[0]
+    before_paren = stripped.str.split("(", n=1).str[0].str.split("<", n=1).str[0]
     in_paren = text.str.extract(r"\(([^)]*)\)", expand=False).fillna("")
     last_seg = text.str.rsplit(".", n=1).str[-1]
     # var/const: name = before the first ':' or '='; detail = the raw
@@ -222,6 +235,11 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     ret = pd.Series("", index=pdf.index, dtype=object)
     ret = ret.mask(is_def, text.str.extract(RETURN_RE, expand=False).fillna(""))
+    is_type = k.isin(tuple(_TYPE_KINDS))
+    tparams = pd.Series("", index=pdf.index, dtype=object)
+    tparams = tparams.mask(
+        is_type, text.str.extract(TPARAMS_RE, expand=False).fillna("")
+    )
 
     return pd.DataFrame(
         {
@@ -234,6 +252,7 @@ def _parse_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "offset": pdf["offset"],
             "modifier": modifier,
             "ret": ret,
+            "tparams": tparams,
         }
     )
 

@@ -57,7 +57,17 @@ spans AS (
            WHEN m = 4 THEN concat(tok, '(',
                 CASE WHEN cyc_odd THEN concat(nxt, ',', nx2) ELSE nxt END, ')')
            WHEN m = 6 THEN concat('lib.', tok)
-           WHEN m IN (10, 12, 14, 16) THEN concat(tok, '(', nxt, ')')
+           WHEN m = 10 THEN concat(tok,
+                CASE WHEN cyc_odd THEN concat('<', nx2, '>') ELSE '' END,
+                '(', nxt, ')')
+           WHEN m = 12 THEN concat(tok,
+                CASE WHEN cyc_odd THEN concat('<', nx2, '=', nx3, '>')
+                     ELSE '' END,
+                '(', nxt, ')')
+           WHEN m IN (14, 16) THEN concat(tok,
+                CASE WHEN cyc_odd THEN concat('<', nx2, ':', nx3, '>')
+                     ELSE '' END,
+                '(', nxt, ')')
            WHEN m = 18 THEN concat(tok, ':', nxt, '=', nx2)
            WHEN m = 19 THEN concat(tok, '=', nxt)
            WHEN m = 20 THEN concat(tok, ' ', nxt)
@@ -88,7 +98,9 @@ mentions AS (
          WHEN 'doc' THEN 'Doc' ELSE 'Media' END AS mention_type,
     CASE
       WHEN kind IN {_PAREN_KINDS}
-        THEN split_part(regexp_replace(text, '^(async|static|abstract) ', ''), '(', 1)
+        THEN split_part(split_part(
+               regexp_replace(text, '^(async|static|abstract) ', ''),
+               '(', 1), '<', 1)
       WHEN kind = 'call' THEN CASE WHEN contains(text, '.') THEN string_split(text, '.')[-1] ELSE text END
       WHEN kind = 'import' THEN text
       WHEN kind IN ('var', 'const') THEN split_part(split_part(text, '=', 1), ':', 1)
@@ -108,7 +120,10 @@ mentions AS (
          ELSE '' END AS modifier,
     CASE WHEN kind = 'def'
          THEN coalesce(regexp_extract(text, '\\)->(.*)$', 1), '')
-         ELSE '' END AS ret
+         ELSE '' END AS ret,
+    CASE WHEN kind IN ('class', 'interface', 'trait', 'enum', 'struct')
+         THEN coalesce(regexp_extract(text, '<([^>]*)>', 1), '')
+         ELSE '' END AS tparams
   FROM spans WHERE kind IN ('def', 'class', 'interface', 'trait', 'enum',
                             'struct', 'var', 'const', 'call', 'import',
                             'doc', 'image', 'audio', 'video')
@@ -153,18 +168,18 @@ node_cands AS (
       ELSE concat('type::', doc_id, '::', name) END AS id,
     name, mention_type AS entity_type, doc_id,
     CASE WHEN mention_type = 'Media' THEN '' ELSE doc_id END AS containing_entity,
-    detail, modifier, ret, doc_id AS ord_doc, span_idx AS ord_idx
+    detail, modifier, ret, tparams, doc_id AS ord_doc, span_idx AS ord_idx
   FROM mentions
   WHERE mention_type IN ('Function','Class','Interface','Trait','Enum',
                          'Struct','Variable','Constant','Media')
   UNION ALL
   SELECT t.doc_id, t.doc_id, 'Module', t.doc_id, '', coalesce(md.mdoc, ''),
-         '', '', t.doc_id, CAST(-1 AS BIGINT)
+         '', '', '', t.doc_id, CAST(-1 AS BIGINT)
   FROM toks t LEFT JOIN module_docs md ON md.doc_id = t.doc_id
 ),
 nodes AS (
   SELECT c.id, c.name, c.entity_type, c.doc_id, c.containing_entity,
-         c.detail, c.modifier, c.ret, c.ord_idx AS loc_off,
+         c.detail, c.modifier, c.ret, c.tparams, c.ord_idx AS loc_off,
          CASE WHEN c.entity_type = 'Module' THEN c.detail
               ELSE coalesce(ed.edoc, '') END AS documentation
   FROM (

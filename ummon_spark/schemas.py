@@ -59,6 +59,10 @@ MENTIONS = T.StructType(
         # abstract marker and the "->ret" return annotation; '' elsewhere
         T.StructField("modifier", T.StringType(), False),
         T.StructField("ret", T.StringType(), False),
+        # Type-kind-only payload: the raw '<...>' generic-parameter list
+        # (GenericParameter extraction, language_support/mod.rs:161-165,
+        # java.rs:116-204); '' elsewhere
+        T.StructField("tparams", T.StringType(), False),
     ]
 )
 
