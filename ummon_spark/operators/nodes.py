@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from ..schemas import LOCATION_DDL
 
+# class-shaped kinds sharing the "type::{doc}::{Name}" id namespace
+# (entity.rs:69-86; index.rs:265)
+TYPE_KINDS = ("Class", "Interface", "Trait", "Enum", "Struct")
+
 ENTITY_MENTIONS = (
     "Function",
     "Class",
@@ -211,8 +215,9 @@ def parse_type_params(tparams):
     return F.filter(F.transform(parts, to_struct), lambda s: s["name"] != "")
 
 
-def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
-    """Mentions + document ids -> nodes table (before placeholders).
+def build_node_candidates(mentions: DataFrame, documents: DataFrame) -> DataFrame:
+    """Mentions + document ids -> DEDUPED slim node rows (all flat
+    strings; the derived payload arrays come from ``finalize_nodes``).
 
     `documents` is the spans table (one row per doc): a module entity
     exists for every document regardless of parse results, matching the
@@ -222,6 +227,12 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     One shuffle on id (the dedupe window); everything upstream is
     narrow. At scale the id space is ~uniform (doc-scoped prefixes), so
     no skew; media ids are hubs but carry one row per (doc, span).
+
+    The slim/finalize split exists for the cache boundary: the pipeline
+    persists THIS frame (flat strings — columnar cache writes ~40%
+    faster than the wide frame with its array<struct> payloads,
+    measured 10.8 s vs 18.5 s at sf0.1 x20) and re-derives the payload
+    columns narrowly wherever they're read.
     """
     m = mentions
     doc = F.col("doc_id")
@@ -233,17 +244,16 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     # the Class id namespace ("type::{doc}::{Name}" — index.rs:265);
     # Variables get "{doc}::var::{name}" mirroring the reference's
     # field-id shape "{key}::field::{name}" (index.rs:446).
-    type_kinds = ("Class", "Interface", "Trait", "Enum", "Struct")
     node_id = (
         F.when(mt == "Function", F.concat(doc, F.lit("::"), name))
-        .when(mt.isin(*type_kinds), F.concat(F.lit("type::"), doc, F.lit("::"), name))
+        .when(mt.isin(*TYPE_KINDS), F.concat(F.lit("type::"), doc, F.lit("::"), name))
         .when(mt == "Variable", F.concat(doc, F.lit("::var::"), name))
         .when(mt == "Constant", F.concat(doc, F.lit("::const::"), name))
         .when(mt == "Media", F.concat(F.lit("media::"), name))
     )
     entity_docs, module_docs = doc_attachments(m)
     entities = (
-        m.filter(mt.isin("Function", "Media", "Variable", "Constant", *type_kinds))
+        m.filter(mt.isin("Function", "Media", "Variable", "Constant", *TYPE_KINDS))
         .select(
             node_id.alias("id"),
             name.alias("name"),
@@ -295,11 +305,18 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
     )
 
     candidates = entities.unionByName(modules, allowMissingColumns=False)
-    deduped = _dedupe_last_wins(candidates)
+    return _dedupe_last_wins(candidates)
+
+
+def finalize_nodes(deduped: DataFrame) -> DataFrame:
+    """Slim deduped node rows -> full node schema with the typed
+    payloads (parameters, flags, supertypes, type_params, location).
+    Pure column expressions — narrow, no shuffle — so callers can apply
+    it lazily on top of the cached slim frame."""
     et = F.col("entity_type")
     is_fn = et == "Function"
     is_value = et.isin("Variable", "Constant")
-    is_type = et.isin(*type_kinds)
+    is_type = et.isin(*TYPE_KINDS)
     # Variable/Constant detail is the raw ":annotation=value" remainder;
     # split it into the typed payload (entity.rs:422-429)
     value = F.when(
@@ -372,6 +389,12 @@ def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
         .cast("map<string,string>")
         .alias("metadata"),
     )
+
+
+def build_nodes(mentions: DataFrame, documents: DataFrame) -> DataFrame:
+    """Mentions + documents -> full nodes table (before placeholders);
+    see build_node_candidates / finalize_nodes for the two halves."""
+    return finalize_nodes(build_node_candidates(mentions, documents))
 
 
 def with_type_members(nodes: DataFrame, edges: DataFrame) -> DataFrame:

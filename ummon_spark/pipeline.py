@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.edges import build_edges, checked_candidates
-from .operators.nodes import build_nodes, synthesize_placeholders
+from .operators.nodes import (
+    build_node_candidates,
+    finalize_nodes,
+    synthesize_placeholders,
+)
 from .operators.parse import parse_mentions, parse_mentions_pandas
 
 
@@ -25,9 +29,12 @@ class Graph:
     nodes: DataFrame  # includes placeholder nodes
     edges: DataFrame
     mentions: DataFrame
+    # persisted intermediates not exposed as top-level frames (the slim
+    # node candidates behind `nodes`); tracked so unpersist frees them
+    cached: tuple = ()
 
     def unpersist(self) -> None:
-        for df in (self.nodes, self.edges, self.mentions):
+        for df in (self.nodes, self.edges, self.mentions, *self.cached):
             try:
                 df.unpersist()
             except Exception:
@@ -43,18 +50,27 @@ def build_graph(
     mentions = parse(spans_df)
     if persist:
         mentions = mentions.persist()
-    base_nodes = build_nodes(mentions, spans_df)
+    # the cache boundary is the SLIM deduped frame (flat strings):
+    # columnar cache writes are ~40% cheaper than caching the finalized
+    # frame with its array<struct> payloads, and every downstream read
+    # either needs only id/entity_type (source-exists probe,
+    # placeholders) or re-derives the payloads narrowly (finalize)
+    slim = build_node_candidates(mentions, spans_df)
     if persist:
-        base_nodes = base_nodes.persist()
-    edges = build_edges(mentions, base_nodes)
+        slim = slim.persist()
+    base_nodes = finalize_nodes(slim)
+    edges = build_edges(mentions, slim)
     if persist:
         edges = edges.persist()
     # placeholders read the persisted edge table (the obj set is what
     # matters; deriving it from pre-dedupe candidates instead was
     # measured slower — the recompute outweighs the branch parallelism)
-    placeholders = synthesize_placeholders(edges, base_nodes)
+    placeholders = synthesize_placeholders(edges, slim)
     nodes = base_nodes.unionByName(placeholders)
-    return Graph(nodes=nodes, edges=edges, mentions=mentions)
+    return Graph(
+        nodes=nodes, edges=edges, mentions=mentions,
+        cached=(slim,) if persist else (),
+    )
 
 
 def flat_nodes(g: Graph) -> DataFrame:
