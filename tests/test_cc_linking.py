@@ -239,3 +239,18 @@ def test_canonicalize_shares_one_count_job(spark, canon_graph):
         canonicalize_nodes(g.nodes, canon)
     assert counts["n"] == 1
     canon.mapping.unpersist()
+
+
+def test_link_keys_with_alias_dictionary(spark, canon_graph):
+    """North-star broadcast alias dictionary: curated (surface,
+    canonical_key) rows override the rule key; unmatched keys keep the
+    rule result; the dictionary side is broadcast (no node shuffle)."""
+    g, _ = canon_graph
+    dic = spark.createDataFrame(
+        [("slow", "treacle")], "surface string, canonical_key string"
+    )
+    keys = {r["id"]: r["key"] for r in link_keys(g.nodes, dic).collect()}
+    assert keys["hash.slow"] == "treacle"
+    assert keys["media::img_slow"] == "treacle"
+    plan = link_keys(g.nodes, dic)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

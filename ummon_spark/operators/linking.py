@@ -51,11 +51,30 @@ def linkable_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
-def link_keys(nodes: DataFrame) -> DataFrame:
-    """(id, key): normalized alias key per linkable node."""
+def link_keys(nodes: DataFrame, alias_dict: DataFrame | None = None) -> DataFrame:
+    """(id, key): normalized alias key per linkable node.
+
+    alias_dict: optional (surface, canonical_key) table — the broadcast
+    alias dictionary of the BASELINE north_star. Surfaces are matched
+    against the rule-normalized key (lowercased, media prefix stripped,
+    last dot segment) and override it; unmatched keys keep the rule
+    result. The dictionary is a curated artifact (thousands of rows,
+    not data-scale), so it is explicitly broadcast — the join never
+    shuffles the node table."""
     stripped = F.regexp_replace(F.lower(F.col("name")), MEDIA_PREFIX_RE, "")
     key = F.substring_index(stripped, ".", -1)
-    return linkable_nodes(nodes).select("id", key.alias("key"))
+    keyed = linkable_nodes(nodes).select("id", key.alias("key"))
+    if alias_dict is None:
+        return keyed
+    dic = F.broadcast(
+        alias_dict.select(
+            F.col("surface").alias("key"),
+            F.col("canonical_key").alias("_canon"),
+        )
+    )
+    return keyed.join(dic, "key", "left").select(
+        "id", F.coalesce("_canon", "key").alias("key")
+    )
 
 
 def link_pairs(keys: DataFrame) -> DataFrame:
@@ -157,8 +176,10 @@ class Canonicalization:
         return self._n_rows <= MAX_BROADCAST_MAPPING_ROWS
 
 
-def canonical_mapping(nodes: DataFrame) -> Canonicalization:
-    keys = link_keys(nodes).persist()
+def canonical_mapping(
+    nodes: DataFrame, alias_dict: DataFrame | None = None
+) -> Canonicalization:
+    keys = link_keys(nodes, alias_dict).persist()
     pairs = link_pairs(keys)
     cc = connected_components(pairs)
     mapping = (
