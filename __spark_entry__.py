@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # different anchor), freeing the slot for dp_tfidf.
 _LAST = (
     "kg_neighborhood_module",
+    # dp_minhash_pairs recomputes the signatures internally, so the
+    # standalone signature gate is the redundant probe of that family
+    "dp_minhash_sigs",
     "uql_select_like",
     "uql_select_or",
     "uql_traversal_self",

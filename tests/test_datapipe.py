@@ -348,3 +348,30 @@ def test_tfidf_top_terms(spark):
     assert rows[("2", 1)] == ("common", 2000)
     assert rows[("2", 2)] == ("other", 1500)
     assert out.schema["score"].dataType.simpleString() == "bigint"
+
+
+def test_stratified_sample_two_phase_equals_single_window(spark):
+    """The salt-bucketed two-phase top-k selects exactly the rows the
+    naive single-window form would, and respects the per-stratum cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from ummon_spark.datapipe.textstats import language_id, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, ("the a of and " if i % 2 else "der die und ist ") + f"w{i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = stratified_sample(docs, n_per_stratum=10, n_salt=4)
+    rows = {(r["doc_id"], r["lang"], r["rank"]) for r in out.collect()}
+    lang = language_id(docs).select(
+        "doc_id", F.col("predicted_lang").alias("lang")
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5("doc_id"), "doc_id")
+    naive = (
+        lang.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+    assert rows == {(r["doc_id"], r["lang"], r["rank"]) for r in naive.collect()}
+    per_lang = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in per_lang) and len(rows) == 20

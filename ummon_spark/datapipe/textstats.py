@@ -213,3 +213,54 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+SAMPLE_SALT_BUCKETS = 32
+
+
+def stratified_sample(
+    documents: DataFrame,
+    n_per_stratum: int = 100,
+    n_salt: int = SAMPLE_SALT_BUCKETS,
+) -> DataFrame:
+    """(doc_id, lang, rank): deterministic stratified sample — the
+    corpus-curation stage that balances a training mix across strata
+    (here: predicted language from language_id). Selection order is
+    md5(doc_id): uniform-random in effect but reproducible bit-exactly
+    across engines and runs (no RNG state to seed).
+
+    Scale shape: the naive per-stratum top-k is a window partitioned by
+    the stratum — with a handful of strata that collapses parallelism
+    to n_strata tasks and sorts whole strata. This runs the standard
+    two-phase pattern instead: phase 1 takes the local top-k per
+    (stratum, salt-bucket) — n_strata * n_salt parallel partitions,
+    each sorting only its bucket — phase 2 re-ranks the surviving
+    n_strata * n_salt * k rows (tiny) per stratum. The salt comes from
+    the hash itself, so the result is IDENTICAL to the single-window
+    form (the per-bucket top-k is a superset of the global top-k).
+    """
+    lang = language_id(documents).select(
+        "doc_id", F.col("predicted_lang").alias("lang")
+    )
+    from pyspark.sql import Window
+
+    keyed = lang.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id")).alias("_h"),
+    ).withColumn(
+        "_salt",
+        (F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") % n_salt),
+    )
+    w_local = Window.partitionBy("lang", "_salt").orderBy("_h", "doc_id")
+    survivors = keyed.withColumn(
+        "_rn", F.row_number().over(w_local)
+    ).filter(F.col("_rn") <= n_per_stratum)
+    w_global = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(w_global).cast("bigint")
+        )
+        .filter(F.col("rank") <= n_per_stratum)
+        .select("doc_id", "lang", "rank")
+    )

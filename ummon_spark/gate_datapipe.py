@@ -110,6 +110,12 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def q_stratified_sample(spark, sf_dir):
+    from .datapipe.textstats import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -236,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_bpe_tokens": q_bpe_tokens,
     "dp_winnow": q_winnow,
     "dp_tfidf": q_tfidf,
+    "dp_stratified_sample": q_stratified_sample,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_sessions": q_ev_sessions,
     "dp_topk_cosine": q_topk_cosine,
@@ -307,7 +314,7 @@ _STOP_ALL = ", ".join(
 )
 
 
-def _langid_sql() -> str:
+def _pred_lang_expr() -> str:
     hits = {
         lang: (
             "len(list_intersect(string_split(text, ' '), ["
@@ -320,11 +327,33 @@ def _langid_sql() -> str:
     pred = "CASE " + " ".join(
         f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in LANGS
     ) + " END"
+    return best, pred
+
+
+def _langid_sql() -> str:
+    best, pred = _pred_lang_expr()
     return f"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        {pred} AS predicted_lang,
        CAST({best} AS BIGINT) AS best_hits,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
 FROM documents"""
+
+
+def _stratified_sample_sql(k: int = 100) -> str:
+    """Single-window oracle form; the Spark side's two-phase
+    salt-bucketed variant selects the identical rows (the per-bucket
+    top-k is a superset of the per-stratum top-k)."""
+    _, pred = _pred_lang_expr()
+    return f"""WITH sl AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {pred} AS lang,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY h, doc_id) AS rnk
+  FROM sl
+) WHERE rnk <= {k}"""
 
 
 _Q_CTE = """
@@ -537,6 +566,7 @@ SELECT doc_id,
 FROM wm""",
     # integer-scaled tf-idf top-k: score = tf * (N * 1000 // df), all
     # bigint (ln-based idf differs between JVM and libm in the last ulp)
+    "dp_stratified_sample": _stratified_sample_sql(),
     "dp_tfidf": """WITH
 tterms AS (
   SELECT doc_id, lower(t) AS term FROM (
