@@ -47,3 +47,46 @@ def test_io_fallback_roundtrip(spark, tmp_path):
     # partition pruning works on the written layout
     plan = back.filter(back.pred == "calls")._jdf.queryExecution().executedPlan().toString()
     assert "calls" in plan
+
+
+def test_north_rule_pr_against_reference_fixture_triples(spark):
+    """The north-rule criterion stated in its own terms: triple-level
+    P/R >= 0.95 vs a golden fixture set — here the exact triples the
+    reference's extraction rules produce for a span-encoded fixture
+    program (python.rs call rules + index.rs Pass-1/2 projections)."""
+    from ummon_spark.evaluate import triple_pr
+    from ummon_spark.schemas import DOCUMENTS
+
+    rows = [
+        (
+            "fx.py",
+            [
+                ("def", "target()", "", 0),
+                ("call", "pkg.target", "", 1),
+                ("call", "target", "", 2),
+                ("class", "Shape()", "", 3),
+                ("def", "area(self)", "", 4),
+                ("import", "lib.util", "", 5),
+                ("image", "", "img_fx", 6),
+            ],
+        )
+    ]
+    golden_triples = [
+        ("fx.py", "defines", "fx.py::target"),
+        ("fx.py::target", "calls", "pkg.target"),
+        ("fx.py", "references", "target"),
+        ("fx.py", "defines", "type::fx.py::Shape"),
+        ("fx.py", "defines", "fx.py::area"),
+        ("type::fx.py::Shape", "contains", "fx.py::area"),
+        ("fx.py", "imports", "lib.util"),
+        ("fx.py", "depicts", "media::img_fx"),
+    ]
+    g = build_graph(
+        spark.createDataFrame(rows, schema=DOCUMENTS), persist=False
+    )
+    golden = spark.createDataFrame(
+        golden_triples, "subj string, pred string, obj string"
+    )
+    report = triple_pr(g.edges, golden)
+    assert report.passes(0.95)
+    assert report.precision == 1.0 and report.recall == 1.0
