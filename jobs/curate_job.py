@@ -1,0 +1,45 @@
+"""spark-submit entry point: corpus curation run.
+
+  spark-submit --py-files dist/ummon_spark.zip jobs/curate_job.py \
+      --input <dir containing documents.parquet> --output <dir> \
+      [--min-tokens N] [--per-stratum N]
+
+Runs quality filter -> exact dedupe -> MinHash near-dedupe ->
+stratified per-language cap, writes the kept documents as parquet and
+prints the per-stage lineage counters as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--per-stratum", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("ummon_spark_curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ummon_spark.datapipe.curate import CurationConfig, curate
+
+    docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
+    kept, report = curate(
+        docs,
+        CurationConfig(
+            min_tokens=args.min_tokens, n_per_stratum=args.per_stratum
+        ),
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"stages": report.counts}))
+
+
+if __name__ == "__main__":
+    main()

@@ -375,3 +375,32 @@ def test_stratified_sample_two_phase_equals_single_window(spark):
     assert rows == {(r["doc_id"], r["lang"], r["rank"]) for r in naive.collect()}
     per_lang = out.groupBy("lang").count().collect()
     assert all(r["count"] <= 10 for r in per_lang) and len(rows) == 20
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """Composed curation chain: quality filter drops the junk doc,
+    exact dedupe keeps the min doc_id of the identical pair, near-dedup
+    collapses the shingled near-copy, stratified cap bounds the rest;
+    per-stage counters carry the lineage."""
+    from ummon_spark.datapipe.curate import CurationConfig, curate
+
+    base = "the quick brown fox jumps over a lazy dog again and again"
+    near = base.replace("again and again", "again and once more")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact duplicate of 1 -> dropped
+            (3, near),            # near duplicate of 1 -> dropped
+            (4, "short"),         # fails min_tokens -> dropped
+            (5, "a completely different document about the sea and the sky"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, report = curate(docs, CurationConfig(min_tokens=5, n_per_stratum=10))
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1, 5}
+    assert report.counts["input"] == 5
+    assert report.counts["quality"] == 4
+    assert report.counts["exact_dedupe"] == 3
+    assert report.counts["near_dedupe"] == 2
+    assert report.counts["stratified_cap"] == 2

@@ -1,0 +1,131 @@
+"""Corpus curation: the composed training-data pipeline.
+
+The individual operators (quality stats, exact/near dedup, stratified
+sampling) live in textstats.py / dedup.py; this module chains them into
+the one job a data-curation team actually runs:
+
+    quality filter -> exact dedupe -> MinHash near-dedupe
+                   -> stratified per-language cap
+
+Every stage is a DataFrame -> DataFrame function of doc_id sets, so the
+composition stays one declarative plan per stage boundary and the whole
+run is deterministic (md5-ordered selections, keep-first dedupe). Stage
+counters come back in a CurationReport — the per-stage lineage counts
+the north_star asks the pipeline to carry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    doc_hashes,
+    doc_tokens,
+    exact_duplicate_groups,
+    lsh_candidates,
+    jaccard_pairs,
+    minhash_signatures,
+    dedup_survivors,
+)
+from .textstats import quality_stats, stratified_sample
+
+
+@dataclass
+class CurationConfig:
+    min_tokens: int = 5
+    max_token_len: int = 80
+    # stopword hits per 100 distinct tokens (integer ratio — float-free)
+    min_stopword_hits_per_100: int = 0
+    # exact-Jaccard keep threshold inter/union >= num/den (float-free)
+    jaccard_num: int = 4
+    jaccard_den: int = 5
+    n_per_stratum: int = 1_000_000
+
+
+@dataclass
+class CurationReport:
+    counts: dict = field(default_factory=dict)  # stage -> surviving docs
+
+
+def quality_filter(documents: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """Docs passing the length/shape/stopword gates. Integer ratio
+    comparison (hits * 100 >= min * distinct) keeps it float-free."""
+    q = quality_stats(documents)
+    keep = q.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("max_token_len") <= cfg.max_token_len)
+        & (
+            F.col("distinct_stopword_hits") * 100
+            >= cfg.min_stopword_hits_per_100 * F.col("n_distinct_tokens")
+        )
+    ).select("doc_id")
+    return documents.join(
+        keep.withColumnRenamed("doc_id", "_k"),
+        F.col("doc_id").cast("string") == F.col("_k"),
+        "left_semi",
+    )
+
+
+def exact_dedupe(documents: DataFrame) -> DataFrame:
+    """Keep the min doc_id of each byte-identical group (md5 groupBy)."""
+    groups = exact_duplicate_groups(documents)  # (content_hash, n_docs, keep_doc_id)
+    drop = (
+        doc_hashes(documents)
+        .join(groups.select("content_hash", "keep_doc_id"), "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(F.col("doc_id").alias("_d"))
+    )
+    return documents.join(
+        drop, F.col("doc_id").cast("string") == F.col("_d"), "left_anti"
+    )
+
+
+def near_dedupe(documents: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """MinHash-LSH blocked, exact-Jaccard verified, keep-first via CC."""
+    sigs = minhash_signatures(documents)
+    pairs = jaccard_pairs(
+        doc_tokens(documents),
+        lsh_candidates(sigs),
+        cfg.jaccard_num,
+        cfg.jaccard_den,
+    )
+    survivors = dedup_survivors(documents, pairs)  # (doc_id) strings
+    return documents.join(
+        survivors.withColumnRenamed("doc_id", "_s"),
+        F.col("doc_id").cast("string") == F.col("_s"),
+        "left_semi",
+    )
+
+
+def curate(
+    documents: DataFrame, cfg: CurationConfig | None = None
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation chain; returns (kept documents, report).
+
+    Counting each stage materializes it — at production scale, persist
+    `documents` first and expect one action per stage (the counters are
+    the per-stage lineage record, worth one job each)."""
+    cfg = cfg or CurationConfig()
+    report = CurationReport()
+    report.counts["input"] = documents.count()
+
+    staged = quality_filter(documents, cfg)
+    report.counts["quality"] = staged.count()
+
+    staged = exact_dedupe(staged)
+    report.counts["exact_dedupe"] = staged.count()
+
+    staged = near_dedupe(staged, cfg)
+    report.counts["near_dedupe"] = staged.count()
+
+    sample = stratified_sample(staged, cfg.n_per_stratum)
+    kept = staged.join(
+        sample.select(F.col("doc_id").alias("_s")),
+        F.col("doc_id").cast("string") == F.col("_s"),
+        "left_semi",
+    )
+    report.counts["stratified_cap"] = kept.count()
+    return kept, report
