@@ -404,3 +404,24 @@ def test_curation_pipeline_end_to_end(spark):
     assert report.counts["exact_dedupe"] == 3
     assert report.counts["near_dedupe"] == 2
     assert report.counts["stratified_cap"] == 2
+
+
+def test_curate_embedding_near_dedupe(spark):
+    """Embedding stage drops the planted cosine-identical vector pair,
+    keeps the min doc_id, leaves unrelated docs alone."""
+    from ummon_spark.datapipe.curate import near_dedupe_embeddings
+
+    docs = spark.createDataFrame(
+        [(0, "doc zero"), (1, "doc one"), (2, "doc two")],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0 -> dropped
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = near_dedupe_embeddings(docs, embs)
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2}

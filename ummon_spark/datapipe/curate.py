@@ -129,3 +129,30 @@ def curate(
     )
     report.counts["stratified_cap"] = kept.count()
     return kept, report
+
+
+def near_dedupe_embeddings(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    threshold_milli: int = 950,
+) -> DataFrame:
+    """Optional curation stage: drop embedding-cosine near-duplicates
+    (semantic copies that token-level MinHash misses — translations,
+    rewrites). embeddings: (vec_id, embedding) with vec_id == doc_id
+    (the corpus contract). Pairs come from the banded hyperplane path
+    (bits scale with corpus size, bounded bucket occupancy at 100 TB);
+    keep-first survives via the shared CC survivors operator."""
+    from .similarity import cosine_near_duplicates_banded
+
+    pairs = cosine_near_duplicates_banded(
+        embeddings, threshold_milli=threshold_milli
+    ).select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    )
+    survivors = dedup_survivors(documents, pairs)
+    return documents.join(
+        survivors.withColumnRenamed("doc_id", "_s"),
+        F.col("doc_id").cast("string") == F.col("_s"),
+        "left_semi",
+    )
