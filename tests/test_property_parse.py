@@ -137,3 +137,46 @@ def test_parse_parameters_matches_reference_model(spark, detail):
     df = spark.createDataFrame([(detail,)], "detail string")
     got = df.select(parse_parameters(F.col("detail")).alias("p")).collect()[0]["p"]
     assert [tuple(x) for x in got] == _ref_parse_params(detail)
+
+
+# --- generic-parameter parsing vs a Python reference model ------------------
+
+tparam_piece = st.text(alphabet="ab1&:= ,", min_size=0, max_size=12)
+
+
+def _ref_parse_tparams(tparams: str):
+    """Driver-side model of nodes.parse_type_params (GenericParameter
+    grammar: name[:b1[&b2...]][=default], empty names skipped)."""
+    out = []
+    for raw in tparams.split(","):
+        part = raw.strip()
+        if part == "":
+            continue
+        rest = part.split("=", 1)[0].strip()
+        default = part.rsplit("=", 1)[1].strip() if "=" in part else ""
+        if ":" in rest:
+            bounds = [
+                b.strip()
+                for b in rest.rsplit(":", 1)[1].split("&")
+                if b.strip() != ""
+            ]
+        else:
+            bounds = []
+        name = rest.split(":", 1)[0].strip()
+        if name == "":
+            continue
+        out.append((name, bounds, default))
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(tparams=tparam_piece)
+def test_parse_type_params_matches_reference_model(spark, tparams):
+    from ummon_spark.operators.nodes import parse_type_params
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(tparams,)], "tparams string")
+    got = df.select(parse_type_params(F.col("tparams")).alias("p")).collect()[0]["p"]
+    assert [(x["name"], list(x["bounds"]), x["default_type"]) for x in got] == \
+        _ref_parse_tparams(tparams)
