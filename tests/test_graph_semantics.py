@@ -98,6 +98,39 @@ def test_edge_id_deterministic_and_first_wins(tiny_graph):
     assert len(ids) == len(set(ids))  # dedupe by id
 
 
+def test_edge_metadata_provenance(tiny_graph):
+    """metadata = {src_doc, src_span} of the first-wins mention
+    (relationship.rs:61-69 per-edge HashMap, populated with lineage)."""
+    edges = {r["id"]: r for r in tiny_graph.edges.collect()}
+    call = edges["A::h->g.h::calls"]
+    assert call["metadata"] == {"src_doc": "A", "src_span": "3"}
+    assert call["src_partition"] == "A"
+
+
+def test_edge_id_collision_first_wins(spark):
+    """DISTINCT triples whose ids collide ('->' in names makes the
+    concat non-injective) collapse to ONE edge, first wins by the
+    winning mention's (doc, span) — the reference DB's collapse-by-id
+    (INSERT OR REPLACE keyed on id, relationship.rs:89-105)."""
+    from ummon_spark.operators.edges import build_edges
+
+    checked = spark.createDataFrame(
+        [
+            # both ids concat to "m->x->y::references"
+            ("m", "references", "x->y", "m", 7),
+            ("m->x", "references", "y", "m", 3),
+        ],
+        "subj string, pred string, obj string, doc_id string, span_idx long",
+    )
+    out = build_edges(None, None, checked=checked).collect()
+    assert len(out) == 1
+    e = out[0]
+    assert e["id"] == "m->x->y::references"
+    # first wins: span 3 row
+    assert (e["subj"], e["obj"]) == ("m->x", "y")
+    assert e["metadata"]["src_span"] == "3"
+
+
 def test_span_order_preserved(spark):
     docs = synthesize(spark, 50, seed=7)
     flat = explode_spans(docs).collect()

@@ -18,6 +18,9 @@ EDGE_DOCS = [
     (4, " leading trailing ", "de", "s", 18),
     (5, "x " * 40, "fr", "s", 80),  # trailing space, repetitive
     (6, "dot.ted to.kens every where and more of them too", "en", "s", 49),
+    # id-separator tokens: '->' / '::' inside names make the edge-id
+    # concat ambiguous — the id-keyed second dedupe must agree
+    (7, "a->b c::d w->x y::z q->r::s t u v " * 3, "en", "s", 102),
 ]
 
 
@@ -32,7 +35,15 @@ def edge_dir(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["kg_spans", "kg_mentions", "kg_nodes", "kg_edges", "kg_canonical_edges"]
+    "name",
+    [
+        "kg_spans",
+        "kg_mentions",
+        "kg_nodes",
+        "kg_edges",
+        "kg_call_metadata",
+        "kg_canonical_edges",
+    ],
 )
 def test_edge_case_parity(spark, edge_dir, name):
     con = duckdb.connect()

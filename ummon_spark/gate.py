@@ -350,6 +350,18 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_link_pairs(keys, threshold=FUZZY_THRESHOLD, n_bands=FUZZY_N_BANDS)
 
 
+def q_call_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge metadata payload (relationship.rs:61-69): calls edges
+    carry the winning mention's provenance {src_doc, src_span} — the
+    (doc_id, span_idx) lineage build_edges pins with first-wins."""
+    e = _graph(spark, sf_dir).edges
+    return e.filter(F.col("pred") == "calls").select(
+        "id",
+        F.col("metadata")["src_doc"].alias("src_doc"),
+        F.col("metadata")["src_span"].cast("bigint").alias("src_span"),
+    )
+
+
 RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
 
 
@@ -420,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_map": q_canonical_map,
     "kg_canonical_edges": q_canonical_edges,
     "kg_canonical_nodes": q_canonical_nodes,
+    "kg_call_metadata": q_call_metadata,
     "kg_fuzzy_pairs": q_fuzzy_pairs,
     "kg_relevant_files": q_relevant_files,
     "dm_concepts": q_dm_concepts,
@@ -778,6 +791,11 @@ SELECT path_str, depth FROM pwalk""",
         """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
 FROM all_nodes n LEFT JOIN canon c ON c.id = n.id
 WHERE c.id IS NULL OR c.canonical_id = n.id""",
+    ),
+    "kg_call_metadata": oracle.q(
+        oracle.GRAPH_CTES,
+        "SELECT id, src_doc, CAST(src_span AS BIGINT) AS src_span "
+        "FROM edges WHERE pred = 'calls'",
     ),
     "kg_fuzzy_pairs": _fuzzy_oracle(),
     "kg_relevant_files": "WITH RECURSIVE "

@@ -29,6 +29,17 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
   (subj, pred, obj, weight) payloads, so the two policies are
   observably equivalent there — we pin FIRST so the src_partition
   lineage column is stable under repartitioning.
+* The id concat is NOT injective ('->'/'::' can occur inside
+  whitespace-split tokens), so after the triple-keyed dedupe a second,
+  id-keyed first-wins pass collapses adversarial collisions — restoring
+  the reference's collapse-by-id (the DB's INSERT OR REPLACE keyed on
+  id, relationship.rs:89-105). On non-adversarial corpora the pass is a
+  no-op (every id group has one row); its input is the already-deduped
+  edge set, far smaller than the candidate shuffle.
+* metadata carries the winning mention's provenance
+  {src_doc, src_span} — the per-edge HashMap<String,String> payload of
+  the reference (relationship.rs:61-69), populated with the (doc_id,
+  span_idx) lineage the north_rule's per-partition checkpointing reads.
 """
 
 from __future__ import annotations
@@ -195,22 +206,43 @@ def build_edges(
     """
     if checked is None:
         checked = checked_candidates(mentions, nodes)
-    # first-wins by (doc_id, span_idx) via min_by. The dedupe key is the
-    # TRIPLE itself, not the concatenated id: the id is a pure function
-    # of (subj, pred, obj) (relationship.rs:89-105), so grouping by the
-    # triple is equivalent — and the ~50-byte derived id string stays
-    # out of the shuffle (recomputed after the agg). At 100 TB the edge
-    # dedupe is the biggest shuffle in the build; row width is the cost.
+    # first-wins by (doc_id, span_idx) via min. The dedupe key is the
+    # TRIPLE itself, not the concatenated id: grouping by the triple
+    # keeps the ~50-byte derived id string out of the shuffle
+    # (recomputed after the agg). At 100 TB the edge dedupe is the
+    # biggest shuffle in the build; row width is the cost.
     ord_key = F.struct(F.col("doc_id"), F.col("span_idx"))
     agg = checked.groupBy("subj", "pred", "obj").agg(
-        F.min_by(F.col("doc_id"), ord_key).alias("src_partition")
+        F.min(ord_key).alias("_w")
     )
-    return agg.select(
+    by_triple = agg.select(
         F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred").alias("id"),
         "subj",
         "pred",
         "obj",
+        F.col("_w.doc_id").alias("_src_doc"),
+        F.col("_w.span_idx").alias("_src_span"),
+    )
+    # collapse id collisions (non-injective concat, see module
+    # docstring): first wins by the winning mention's (doc, span), then
+    # the triple itself as a total-order tiebreak. The agg input is the
+    # deduped edge set (one row per triple), so this shuffle is a small
+    # fraction of the candidate dedupe above; AQE coalesces it.
+    id_ord = F.struct(
+        F.col("_src_doc"), F.col("_src_span"),
+        F.col("subj"), F.col("pred"), F.col("obj"),
+    )
+    payload = F.struct("subj", "pred", "obj", "_src_doc", "_src_span")
+    final = by_triple.groupBy("id").agg(F.min_by(payload, id_ord).alias("e"))
+    return final.select(
+        "id",
+        F.col("e.subj").alias("subj"),
+        F.col("e.pred").alias("pred"),
+        F.col("e.obj").alias("obj"),
         F.lit(1.0).alias("weight"),
-        F.lit(None).cast("map<string,string>").alias("metadata"),
-        "src_partition",
+        F.create_map(
+            F.lit("src_doc"), F.col("e._src_doc"),
+            F.lit("src_span"), F.col("e._src_span").cast("string"),
+        ).alias("metadata"),
+        F.col("e._src_doc").alias("src_partition"),
     )

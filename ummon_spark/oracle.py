@@ -251,16 +251,27 @@ edge_cands AS (
   FROM mentions WHERE mention_type = 'Media'
 ),
 edges AS (
-  -- dedupe key = the triple itself (the id is a pure function of it,
-  -- relationship.rs:89-105; lockstep with edges.build_edges)
-  SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj
+  -- two-level dedupe, lockstep with edges.build_edges: first by the
+  -- triple (first wins in (doc_id, span_idx) order), then by the
+  -- recomputed id — the concat is not injective under adversarial
+  -- names, and the reference DB collapses by id (relationship.rs:89-105)
+  SELECT id, subj, pred, obj, src_doc, src_span
   FROM (
-    SELECT c.*, row_number() OVER (
-      PARTITION BY c.subj, c.pred, c.obj
-      ORDER BY c.doc_id, c.span_idx) AS rn
-    FROM edge_cands c
-    WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.id = c.subj)
-  ) WHERE rn = 1
+    SELECT t.*, row_number() OVER (
+      PARTITION BY t.id
+      ORDER BY t.src_doc, t.src_span, t.subj, t.pred, t.obj) AS rn2
+    FROM (
+      SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj,
+             doc_id AS src_doc, span_idx AS src_span
+      FROM (
+        SELECT c.*, row_number() OVER (
+          PARTITION BY c.subj, c.pred, c.obj
+          ORDER BY c.doc_id, c.span_idx) AS rn
+        FROM edge_cands c
+        WHERE EXISTS (SELECT 1 FROM nodes n WHERE n.id = c.subj)
+      ) WHERE rn = 1
+    ) t
+  ) WHERE rn2 = 1
 )"""
 
 # --- placeholder synthesis + full node set --------------------------------
