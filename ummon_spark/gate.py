@@ -338,15 +338,44 @@ def q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # permissive gate config: 16 bands x 1 row blocking + low threshold, so
 # the driver corpus (31 distinct keys, max trigram-jaccard 0.25) yields
-# a non-empty result that exercises both the keep and the filter side
+# a non-empty result that exercises both the keep and the filter side.
+# The corpus alone survives with ONE organic pair — too thin to pin the
+# trigram-Jaccard scorer (VERDICT r3 what's-wrong #2) — so the gate
+# additionally derives deterministic near-miss aliases from the longer
+# keys (suffix-'s' plural, first-char drop: edit-distance-1 variants)
+# and runs the REAL fuzzy_link_pairs over the union; the oracle plants
+# identically. ~18 pairs spanning ≥5 distinct scores at sf0.01.
 FUZZY_THRESHOLD = 0.2
 FUZZY_N_BANDS = 16
+FUZZY_PLANT_MIN_LEN = 6
+
+
+def _planted_alias_keys(keys: DataFrame) -> DataFrame:
+    """(id, key) near-miss alias rows derived from distinct keys of
+    length >= FUZZY_PLANT_MIN_LEN: 'streams' and 'tream' for 'stream'."""
+    base = (
+        keys.select("key")
+        .distinct()
+        .filter(F.length("key") >= FUZZY_PLANT_MIN_LEN)
+    )
+    variants = base.select(
+        F.explode(
+            F.array(
+                F.concat(F.col("key"), F.lit("s")),
+                F.expr("substr(key, 2)"),
+            )
+        ).alias("key")
+    )
+    return variants.select(
+        F.concat(F.lit("planted::"), "key").alias("id"), "key"
+    )
 
 
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.linking import fuzzy_link_pairs, link_keys
 
     keys = link_keys(_graph(spark, sf_dir).nodes)
+    keys = keys.unionByName(_planted_alias_keys(keys))
     return fuzzy_link_pairs(keys, threshold=FUZZY_THRESHOLD, n_bands=FUZZY_N_BANDS)
 
 
@@ -473,7 +502,16 @@ def _fuzzy_oracle() -> str:
     return oracle.q(
         oracle.CANON_CTES
         + f""",
-fkeys AS (SELECT DISTINCT key FROM link_keys),
+fbase AS (SELECT DISTINCT key FROM link_keys),
+fkeys AS (
+  SELECT DISTINCT key FROM (
+    SELECT key FROM fbase
+    UNION ALL
+    SELECT concat(key, 's') FROM fbase WHERE length(key) >= {FUZZY_PLANT_MIN_LEN}
+    UNION ALL
+    SELECT substr(key, 2) FROM fbase WHERE length(key) >= {FUZZY_PLANT_MIN_LEN}
+  )
+),
 ftoks AS (
   SELECT DISTINCT key, tok AS token FROM (
     SELECT key, unnest({_TRI.format(k='key')}) AS tok FROM fkeys
