@@ -120,12 +120,59 @@ def test_multimodal_stub_plumbing(spark):
     assert {r["media_ref"] for r in frames} == {"vid_b"}
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_raises_for_non_ppm(spark):
+    """Compressed/unknown formats still raise on the real path — only
+    the uncompressed PPM kernel runs without codec libs."""
     from ummon_spark.datapipe.multimodal import decode_media, synthesize_media_table
 
     media = synthesize_media_table(spark, [("img_a", "image")])
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
         decode_media(media, fake=False).collect()
+
+
+def test_multimodal_real_ppm_decode_resize(spark):
+    """REAL pixel kernel end-to-end (no media libs): a 4x2 P6 image with
+    known pixels decodes to exact dims + per-channel mean features, and
+    nearest-neighbor resize to 2x1 picks exactly pixels (0,0) and (0,2),
+    re-encoded as P6 — all through the Spark mapInPandas plumbing."""
+    import numpy as np
+
+    from ummon_spark.datapipe.multimodal import (
+        MEDIA_TABLE_SCHEMA,
+        decode_media,
+        encode_ppm,
+        resize_media,
+        resize_plan,
+    )
+
+    # 2 rows x 4 cols, each pixel a distinct RGB triple
+    arr = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+            [[40, 50, 60], [70, 80, 90], [100, 110, 120], [130, 140, 150]],
+        ],
+        dtype=np.uint8,
+    )
+    # header comment exercises the '#' parser branch
+    payload = encode_ppm(arr).replace(b"P6\n", b"P6\n# test image\n", 1)
+    media = spark.createDataFrame(
+        [("img_real", "image", payload, {})], MEDIA_TABLE_SCHEMA
+    )
+
+    decoded = decode_media(media, fake=False)
+    row = decoded.collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (4, 2, 1)
+    expected = [float(m) for m in arr.astype("float64").mean(axis=(0, 1)) / 255.0]
+    got = [float(f) for f in row["features"]]
+    assert got == pytest.approx(expected, abs=1e-6)
+
+    plan = resize_plan(decoded, max_side=2)
+    prow = plan.collect()[0]
+    assert (prow["new_width"], prow["new_height"]) == (2, 1)
+    resized = resize_media(media, plan, fake=False).collect()[0]
+    # NN index math: rows [0*2//1]=[0], cols [0*4//2, 1*4//2]=[0, 2]
+    expected_payload = encode_ppm(arr[[0]][:, [0, 2]])
+    assert bytes(resized["payload"]) == expected_payload
 
 
 def test_ngram_all_pairs_guard_raises(spark):

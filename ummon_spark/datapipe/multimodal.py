@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract kernels are STUBS in this environment (no
-image/audio libraries in the container): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (md5-seeded dimensions/features) exercises the real Spark
-plumbing — schema, partitioning, Arrow batch shape, UDF signature —
-end-to-end. Swap `_decode_*_real` with Pillow/av calls on a real
-cluster.
+Pixel kernels: binary PPM (P6) — an uncompressed format — is decoded,
+feature-extracted and resized FOR REAL with numpy only (no media libs
+needed): `_parse_ppm` / `encode_ppm` / nearest-neighbor `_resize_ppm`.
+Compressed codecs (PNG/JPEG/...) remain STUBS in this container (no
+image/audio libraries): they raise NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder (md5-seeded
+dimensions/features) exercises the real Spark plumbing — schema,
+partitioning, Arrow batch shape, UDF signature — end-to-end. Swap the
+codec branch with Pillow/av calls on a real cluster.
 
 Design notes for 100 TB of media:
 * media bytes travel as `binary` columns in their own table keyed by
@@ -61,6 +63,68 @@ def synthesize_media_table(spark, media_refs: list[tuple[str, str]]) -> DataFram
     return spark.createDataFrame(rows, MEDIA_TABLE_SCHEMA)
 
 
+# --- real PPM (P6) pixel kernel: numpy only --------------------------------
+
+
+def is_ppm(payload) -> bool:
+    return payload is not None and bytes(payload[:2]) == b"P6"
+
+
+def _parse_ppm(payload: bytes):
+    """P6 payload -> (width, height, HxWx3 uint8 array). Handles the
+    format's whitespace-separated header and '#' comments."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval; a single
+    # whitespace byte after maxval starts the raster
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment to end of line
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(buf) and not buf[i : i + 1].isspace():
+            i += 1
+        tokens.append(int(buf[start:i]))
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    n = width * height * 3
+    raster = np.frombuffer(buf, dtype=np.uint8, count=n, offset=i)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """HxWx3 uint8 array -> binary P6 payload."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _ppm_features(arr) -> list[float]:
+    """Per-channel mean intensity in [0, 1] — the deterministic feature
+    vector of the real decode path (float64 means, exact-testable)."""
+    means = arr.astype("float64").mean(axis=(0, 1)) / 255.0
+    return [float(m) for m in means]
+
+
+def _resize_ppm(arr, new_w: int, new_h: int):
+    """Nearest-neighbor resample via integer index math
+    (src = dst * src_dim // dst_dim) — deterministic, numpy-only."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(new_h) * h) // new_h
+    cols = (np.arange(new_w) * w) // new_w
+    return arr[rows][:, cols]
+
+
 def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake decode: md5(payload)-seeded dims + features."""
     out = []
@@ -76,18 +140,34 @@ def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real decode: PPM (P6) payloads via the numpy kernel; any other
+    format needs codec libs this container lacks -> NotImplementedError."""
+    out = []
+    for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
+        if kind == "image" and is_ppm(payload):
+            w, h, arr = _parse_ppm(payload)
+            out.append((ref, kind, w, h, 1, _ppm_features(arr)))
+        else:
+            raise NotImplementedError(
+                f"real decode for media_ref={ref!r} ({kind}): only "
+                "uncompressed PPM (P6) images decode without codec libs; "
+                "pass fake=True for the deterministic stub decoder"
+            )
+    return pd.DataFrame(
+        out, columns=["media_ref", "kind", "width", "height", "n_frames", "features"]
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Arrow-batched decode/feature-extract over the media table."""
+    """Arrow-batched decode/feature-extract over the media table.
+
+    fake=False runs the REAL numpy PPM kernel (raises for formats that
+    need codec libs); fake=True runs the deterministic stub decoder."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding needs image/audio libs not present "
-                    "in this container; pass fake=True for the deterministic "
-                    "stub decoder"
-                )
-            yield _decode_fake(pdf)
+            yield _decode_fake(pdf) if fake else _decode_real(pdf)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
@@ -125,29 +205,35 @@ def resize_media(
     media: DataFrame, plan: DataFrame, fake: bool = False
 ) -> DataFrame:
     """Arrow-batched resample of image payloads to the planned dims.
-    The pixel kernel is a STUB (no image libs in this container):
-    fake=True produces a deterministic md5-derived payload sized
-    new_width*new_height/64 bytes, exercising the real join +
-    mapInPandas plumbing; fake=False raises."""
+    fake=False runs the REAL nearest-neighbor numpy kernel on PPM (P6)
+    payloads, re-encoding the result as P6 (raises for compressed
+    formats that need codec libs); fake=True produces a deterministic
+    md5-derived payload sized new_width*new_height/64 bytes, exercising
+    the real join + mapInPandas plumbing without any pixel math."""
     joined = media.select("media_ref", "payload").join(plan, "media_ref")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media resampling needs image libs not present in "
-                    "this container; pass fake=True for the deterministic stub"
-                )
             out = []
             for ref, payload, nw, nh in zip(
                 pdf["media_ref"], pdf["payload"], pdf["new_width"], pdf["new_height"]
             ):
-                seed = hashlib.md5(
-                    (payload or b"") + f"|{nw}x{nh}".encode()
-                ).digest()
-                size = max(int(nw) * int(nh) // 64, 1)
-                fake_bytes = (seed * (size // len(seed) + 1))[:size]
-                out.append((ref, int(nw), int(nh), fake_bytes))
+                if fake:
+                    seed = hashlib.md5(
+                        (payload or b"") + f"|{nw}x{nh}".encode()
+                    ).digest()
+                    size = max(int(nw) * int(nh) // 64, 1)
+                    body = (seed * (size // len(seed) + 1))[:size]
+                elif is_ppm(payload):
+                    _, _, arr = _parse_ppm(payload)
+                    body = encode_ppm(_resize_ppm(arr, int(nw), int(nh)))
+                else:
+                    raise NotImplementedError(
+                        f"real resample for media_ref={ref!r}: only "
+                        "uncompressed PPM (P6) resamples without codec "
+                        "libs; pass fake=True for the deterministic stub"
+                    )
+                out.append((ref, int(nw), int(nh), body))
             yield pd.DataFrame(
                 out, columns=["media_ref", "new_width", "new_height", "payload"]
             )
