@@ -7,6 +7,10 @@
 Runs quality filter -> exact dedupe -> MinHash near-dedupe ->
 stratified per-language cap, writes the kept documents as parquet and
 prints the per-stage lineage counters as one JSON line.
+
+With --checkpoints DIR every stage commits parquet + a manifest
+(row_count, content_hash, per-partition counters) there, and a killed
+run re-invoked with the same flags resumes past completed stages.
 """
 
 from __future__ import annotations
@@ -23,20 +27,28 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--per-stratum", type=int, default=1_000_000)
+    ap.add_argument("--checkpoints", help="stage checkpoint dir (resumable)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("ummon_spark_curate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from ummon_spark.datapipe.curate import CurationConfig, curate
-
-    docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
-    kept, report = curate(
-        docs,
-        CurationConfig(
-            min_tokens=args.min_tokens, n_per_stratum=args.per_stratum
-        ),
+    from ummon_spark.datapipe.curate import (
+        CurationConfig,
+        curate,
+        curate_checkpointed,
     )
+
+    cfg = CurationConfig(
+        min_tokens=args.min_tokens, n_per_stratum=args.per_stratum
+    )
+    docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
+    if args.checkpoints:
+        kept, report = curate_checkpointed(
+            spark, docs, args.checkpoints, cfg, input_signature=args.input
+        )
+    else:
+        kept, report = curate(docs, cfg)
     kept.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"stages": report.counts}))
 

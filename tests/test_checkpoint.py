@@ -79,3 +79,84 @@ def test_signature_change_invalidates_downstream(spark, tmp_path):
     # recomputed deterministically: hashes unchanged from run 1
     assert cp2.results["mentions"].content_hash == cp1.results["mentions"].content_hash
     assert cp2.results["canonical_edges"].content_hash == cp1.results["canonical_edges"].content_hash
+
+
+CURATE_STAGES = ("input", "quality", "exact_dedupe", "near_dedupe", "stratified_cap")
+
+
+@pytest.fixture(scope="module")
+def curate_docs(spark):
+    rows = [
+        (i, f"doc {i} shares many common stop the a of words tok{i % 7}", "en")
+        for i in range(30)
+    ] + [(100 + i, "dup dup dup identical body", "de") for i in range(4)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curate_checkpointed_matches_plain(spark, tmp_path, curate_docs):
+    from ummon_spark.datapipe.curate import (
+        CurationConfig,
+        curate,
+        curate_checkpointed,
+    )
+
+    cfg = CurationConfig(min_tokens=3, n_per_stratum=50)
+    kept_plain, rep_plain = curate(curate_docs, cfg)
+    kept_cp, rep_cp = curate_checkpointed(
+        spark, curate_docs, str(tmp_path / "cc"), cfg, input_signature="t"
+    )
+    assert rep_cp.counts == rep_plain.counts
+    assert sorted(r["doc_id"] for r in kept_cp.collect()) == sorted(
+        r["doc_id"] for r in kept_plain.collect()
+    )
+    # per-stage lineage rows on disk: manifest with count + hash + counters
+    for s in CURATE_STAGES:
+        man = json.load(open(tmp_path / "cc" / s / "_MANIFEST.json"))
+        assert man["row_count"] == rep_cp.counts[s]
+        assert "content_hash" in man and man["partition_counts"]
+
+
+def test_curate_checkpointed_resume(spark, tmp_path, curate_docs):
+    """A run killed after exact_dedupe resumes past the completed
+    stages and recomputes only the remainder, bit-identically."""
+    import shutil
+
+    from ummon_spark.datapipe.curate import CurationConfig, curate_checkpointed
+
+    cfg = CurationConfig(min_tokens=3, n_per_stratum=50)
+    base = tmp_path / "cr"
+    _, rep1 = curate_checkpointed(spark, curate_docs, str(base), cfg, "t")
+    hashes1 = {
+        s: json.load(open(base / s / "_MANIFEST.json"))["content_hash"]
+        for s in CURATE_STAGES
+    }
+    # simulate the kill: later stages never committed
+    for s in ("near_dedupe", "stratified_cap"):
+        shutil.rmtree(base / s)
+
+    from ummon_spark.checkpoint import CheckpointManager
+    from ummon_spark.datapipe import curate as curate_mod
+
+    calls = []
+    orig = CheckpointManager.stage
+
+    def spy(self, name, build, input_stages=(), extra_signature=""):
+        def wrapped():
+            calls.append(name)
+            return build()
+
+        return orig(self, name, wrapped, input_stages, extra_signature)
+
+    CheckpointManager.stage = spy
+    try:
+        kept2, rep2 = curate_checkpointed(spark, curate_docs, str(base), cfg, "t")
+    finally:
+        CheckpointManager.stage = orig
+    # completed stages resumed from parquet, not rebuilt
+    assert calls == ["near_dedupe", "stratified_cap"]
+    assert rep2.counts == rep1.counts
+    hashes2 = {
+        s: json.load(open(base / s / "_MANIFEST.json"))["content_hash"]
+        for s in CURATE_STAGES
+    }
+    assert hashes2 == hashes1

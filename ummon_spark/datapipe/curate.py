@@ -131,6 +131,63 @@ def curate(
     return kept, report
 
 
+def curate_checkpointed(
+    spark,
+    documents: DataFrame,
+    base_dir: str,
+    cfg: CurationConfig | None = None,
+    input_signature: str = "",
+    run_id: str = "curate",
+) -> tuple[DataFrame, CurationReport]:
+    """The curation chain as resumable checkpointed stages.
+
+    Each stage commits its surviving documents as parquet and records a
+    manifest (row_count, content_hash, per-partition counters) through
+    checkpoint.CheckpointManager — the per-stage (stage, count, hash)
+    lineage rows the north_rule asks every stage to carry. The manifest
+    is written only AFTER the parquet commit, so a run killed mid-stage
+    resumes past every completed stage and recomputes only the
+    interrupted one (test_curate_checkpointed_resume).
+
+    ``input_signature`` should identify the source data (path, or the
+    Iceberg snapshot id in production). The "input" stage materializes
+    the input once to anchor the content-hash chain; at 100 TB skip
+    that copy by passing the snapshot id and reading straight from the
+    source table — downstream signatures chain off it identically.
+    """
+    from ..checkpoint import CheckpointManager
+
+    cfg = cfg or CurationConfig()
+    cfg_sig = (
+        f"{input_signature}|cfg:{cfg.min_tokens},{cfg.max_token_len},"
+        f"{cfg.min_stopword_hits_per_100},{cfg.jaccard_num},"
+        f"{cfg.jaccard_den},{cfg.n_per_stratum}"
+    )
+    cp = CheckpointManager(spark, base_dir, run_id)
+    docs0 = cp.stage("input", lambda: documents, (), cfg_sig)
+    q = cp.stage(
+        "quality", lambda: quality_filter(docs0, cfg), ("input",), cfg_sig
+    )
+    e = cp.stage("exact_dedupe", lambda: exact_dedupe(q), ("quality",), cfg_sig)
+    n = cp.stage(
+        "near_dedupe", lambda: near_dedupe(e, cfg), ("exact_dedupe",), cfg_sig
+    )
+
+    def _cap() -> DataFrame:
+        sample = stratified_sample(n, cfg.n_per_stratum)
+        return n.join(
+            sample.select(F.col("doc_id").alias("_s")),
+            F.col("doc_id").cast("string") == F.col("_s"),
+            "left_semi",
+        )
+
+    kept = cp.stage("stratified_cap", _cap, ("near_dedupe",), cfg_sig)
+    report = CurationReport(
+        counts={name: res.row_count for name, res in cp.results.items()}
+    )
+    return kept, report
+
+
 def near_dedupe_embeddings(
     documents: DataFrame,
     embeddings: DataFrame,
