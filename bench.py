@@ -258,15 +258,26 @@ if __name__ == "__main__":
         # artifact (BENCH_r02 published 17-40x outliers that way).
         best = None
         per_query_min: dict[str, float] = {}
+        n_runs = max(SCALING_RUNS, 2)
         # best-of-3 (not 2): same-JVM back-to-back builds on this host
         # spread up to 2.3x (measured 32-89 s for identical work), and
         # with only two samples one noise hit poisons the published best
-        for _ in range(max(SCALING_RUNS, 2)):
+        for _ in range(n_runs):
             res = run_bench()
             for name, sec in res["queries"].items():
                 if name not in per_query_min or sec < per_query_min[name]:
                     per_query_min[name] = sec
             if best is None or res["build_sec"] < best["build_sec"]:
                 best = res
+        # the artifact is a composite; record the rule in-band so no
+        # consumer mistakes it for a single run (ADVICE r3): queries =
+        # per-query minima across runs, queries_best_build_run = the
+        # best-build run's own (same-run-consistent) timings
+        best["queries_best_build_run"] = dict(best["queries"])
         best["queries"] = per_query_min
+        best["n_runs"] = n_runs
+        best["compositing"] = (
+            "build_sec/value from the best-build run; queries are "
+            "per-query minima across all runs"
+        )
         print(json.dumps(best))

@@ -69,3 +69,29 @@ def test_cli_dead_flags_accepted(spark, tmp_path, capsys):
     captured = capsys.readouterr()
     assert rc == 0
     assert "accepted but unused" in captured.err  # reference-parity quirk noted
+
+
+def test_extra_headers_json_and_legacy(capsys):
+    from ummon_spark.cli import _parse_extra_headers
+
+    # JSON form: escape-safe, values may contain '|' and ':'
+    got = _parse_extra_headers('{"X-One": "a|b:c", "X-Two": "2"}')
+    assert got == {"X-One": "a|b:c", "X-Two": "2"}
+    # legacy pipe form still works
+    assert _parse_extra_headers("X-A: 1|X-B: two") == {"X-A": "1", "X-B": "two"}
+    # malformed legacy pair warns instead of silently dropping
+    assert _parse_extra_headers("nocolon|X-C: 3") == {"X-C": "3"}
+    assert "malformed header pair" in capsys.readouterr().err
+    # unparseable JSON warns and applies nothing
+    assert _parse_extra_headers("{broken") == {}
+    assert "does not parse" in capsys.readouterr().err
+    assert _parse_extra_headers("  ") == {}
+
+
+def test_api_version_env_warns(monkeypatch, capsys):
+    from ummon_spark import cli
+
+    monkeypatch.setenv("UMMON_SPARK_API_VERSION", "2024-01-01")
+    monkeypatch.setenv("UMMON_SPARK_EXTRA_HEADERS", "")
+    cli._llm_callable("openai", None)
+    assert "no longer consumed" in capsys.readouterr().err

@@ -90,3 +90,50 @@ def test_north_rule_pr_against_reference_fixture_triples(spark):
     report = triple_pr(g.edges, golden)
     assert report.passes(0.95)
     assert report.precision == 1.0 and report.recall == 1.0
+
+
+class _WriterSpy:
+    """Records the DataFrameWriterV2 call chain write_table makes on the
+    Iceberg branch — the sandbox has no Iceberg jar, so the call SHAPE
+    (using/partitionedBy per column/createOrReplace-vs-append) is pinned
+    here against a stub (VERDICT r3 next-round #7)."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def using(self, fmt):
+        self.calls.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, col, *cols):
+        self.calls.append(("partitionedBy", str(col), *(str(c) for c in cols)))
+        return self
+
+    def createOrReplace(self):
+        self.calls.append(("createOrReplace",))
+
+    def append(self):
+        self.calls.append(("append",))
+
+
+def test_iceberg_writer_call_shape(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [("e1", "calls", "x"), ("e2", "defines", "y")],
+        "id string, pred string, obj string",
+    )
+    calls = []
+    # patch the CONCRETE class (pyspark 4 instances are
+    # classic.DataFrame; pyspark.sql.DataFrame is the abstract base)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, target: _WriterSpy(calls), raising=True
+    )
+
+    write_table(df, "cat.db.edges", ("pred",), mode="overwrite", fmt="iceberg")
+    assert calls[0] == ("using", "iceberg")
+    assert calls[1][0] == "partitionedBy" and "pred" in calls[1][1]
+    assert calls[-1] == ("createOrReplace",)
+
+    calls.clear()
+    write_table(df, "cat.db.edges", ("pred",), mode="append", fmt="iceberg")
+    assert calls[0] == ("using", "iceberg")
+    assert calls[-1] == ("append",)

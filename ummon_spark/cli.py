@@ -47,16 +47,54 @@ def _urllib_transport(url: str, headers: dict, body: str) -> str:
         return resp.read().decode()
 
 
-def _llm_callable(provider: str | None, model: str | None):
-    from .llm import LLMConfig, query_llm
+def _parse_extra_headers(raw: str) -> dict[str, str]:
+    """Extra provider headers from $UMMON_SPARK_EXTRA_HEADERS: a JSON
+    object ('{"Name": "value"}') — the escape-safe form, values may
+    contain any character including '|' — or the legacy
+    'Name: value|Name2: v2' pipe-joined pairs. Malformed input warns on
+    stderr instead of silently dropping (full header name AND value are
+    caller territory either way)."""
+    raw = raw.strip()
+    if not raw:
+        return {}
+    if raw.startswith("{"):
+        import json
 
-    # extra provider headers come in as "Name: value" pairs joined by
-    # '|' — the full header (name AND value) is caller territory
+        try:
+            obj = json.loads(raw)
+            return {str(k): str(v) for k, v in obj.items()}
+        except (ValueError, AttributeError):
+            print(
+                "warning: UMMON_SPARK_EXTRA_HEADERS looks like JSON but "
+                "does not parse; no extra headers applied",
+                file=sys.stderr,
+            )
+            return {}
     extra = {}
-    for pair in os.environ.get("UMMON_SPARK_EXTRA_HEADERS", "").split("|"):
+    for pair in raw.split("|"):
         if ":" in pair:
             name, _, value = pair.partition(":")
             extra[name.strip()] = value.strip()
+        elif pair.strip():
+            print(
+                f"warning: malformed header pair {pair.strip()!r} in "
+                "UMMON_SPARK_EXTRA_HEADERS ignored (want 'Name: value', "
+                "or use the JSON object form)",
+                file=sys.stderr,
+            )
+    return extra
+
+
+def _llm_callable(provider: str | None, model: str | None):
+    from .llm import LLMConfig, query_llm
+
+    if os.environ.get("UMMON_SPARK_API_VERSION"):
+        print(
+            "warning: UMMON_SPARK_API_VERSION is no longer consumed; pass "
+            "the provider's version header via UMMON_SPARK_EXTRA_HEADERS",
+            file=sys.stderr,
+        )
+    extra = _parse_extra_headers(os.environ.get("UMMON_SPARK_EXTRA_HEADERS", ""))
     cfg = LLMConfig(
         provider=provider or "openai",
         model=model or LLMConfig.model,
