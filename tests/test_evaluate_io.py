@@ -25,7 +25,10 @@ def test_pr_detects_drift(spark):
     # drop all calls edges + inject a bogus one
     mutated = g.edges.filter(F.col("pred") != "calls").unionByName(
         spark.createDataFrame(
-            [("x", "a", "bogus", "b", 1.0, None, "x")], g.edges.schema
+            # metadata is non-nullable since r4 (always-populated
+            # provenance map)
+            [("x", "a", "bogus", "b", 1.0, {"src_doc": "x", "src_span": "0"}, "x")],
+            g.edges.schema,
         )
     )
     report = triple_pr(mutated, g.edges)
