@@ -42,3 +42,27 @@ def test_materialized_scan_properties(spark, tmp_path):
     dg = _plan(degree(edges))
     assert dg.count("Exchange hashpartitioning") == 1
     assert "Join" not in dg
+
+
+def test_edge_dedupe_single_shuffle(spark):
+    """The edge dedupe (both levels: per-triple first-wins AND
+    collapse-by-id) must stay ONE id-keyed hash aggregate with map-side
+    partial combine — no second dedupe exchange, no duplicated
+    candidate subtree (the r4 two-branch union regression: its branches
+    could not reuse the candidate exchange, doubling the build)."""
+    from pyspark.sql import functions as F
+
+    from ummon_spark.operators.edges import build_edges
+
+    checked = spark.createDataFrame(
+        [("m", "defines", "m::a", "m", 1), ("m", "defines", "m::a", "m", 5)],
+        "subj string, pred string, obj string, doc_id string, span_idx long",
+    ).repartition(4)
+    plan = _plan(build_edges(None, None, checked=checked))
+    # exactly one shuffle for the dedupe, keyed by id
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(id" in plan
+    # partial (map-side) min_by before the exchange, final after
+    assert plan.count("partial_min_by") >= 1
+    # no union of re-computed branches
+    assert "Union" not in plan
