@@ -245,7 +245,7 @@ def canonicalize_edges(
             F.col("weight"),
         )
     )
-    return (
+    merged = (
         rewritten.groupBy("subj", "pred", "obj")
         .agg(F.sum("weight").alias("weight"))
         .select(
@@ -255,6 +255,20 @@ def canonicalize_edges(
             "obj",
             "weight",
         )
+    )
+    # collapse id collisions exactly as build_edges does (the concat is
+    # non-injective under adversarial '->' names): first by triple
+    # order. Unique ids are what make the downstream
+    # MERGE-by-deterministic-id write idempotent (io.py). A window, not
+    # a branch split — one linear id-keyed exchange, no duplicated
+    # subtree; the sort within each id group is O(collisions) ≈ 0.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("subj", "pred", "obj")
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -307,16 +307,24 @@ canon AS (
   SELECT id, MIN(id) OVER (PARTITION BY key) AS canonical_id FROM link_keys
 ),
 canon_edges AS (
-  SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj,
-         CAST(w AS DOUBLE) AS weight
-  FROM (
-    SELECT coalesce(cs.canonical_id, e.subj) AS subj, e.pred,
-           coalesce(co.canonical_id, e.obj) AS obj, SUM(1.0) AS w
-    FROM edges e
-    LEFT JOIN canon cs ON cs.id = e.subj
-    LEFT JOIN canon co ON co.id = e.obj
-    GROUP BY 1, 2, 3
-  )
+  -- collapse-by-id after the triple merge, lockstep with
+  -- linking.canonicalize_edges (first triple wins among colliding ids)
+  SELECT id, subj, pred, obj, weight FROM (
+    SELECT id, subj, pred, obj, weight, row_number() OVER (
+      PARTITION BY id ORDER BY subj, pred, obj) AS rn
+    FROM (
+      SELECT concat(subj, '->', obj, '::', pred) AS id, subj, pred, obj,
+             CAST(w AS DOUBLE) AS weight
+      FROM (
+        SELECT coalesce(cs.canonical_id, e.subj) AS subj, e.pred,
+               coalesce(co.canonical_id, e.obj) AS obj, SUM(1.0) AS w
+        FROM edges e
+        LEFT JOIN canon cs ON cs.id = e.subj
+        LEFT JOIN canon co ON co.id = e.obj
+        GROUP BY 1, 2, 3
+      )
+    )
+  ) WHERE rn = 1
 )"""
 
 
