@@ -163,3 +163,65 @@ def test_empty_and_weird_content(spark):
     types = {(r["doc_id"], r["entity_type"]) for r in g.nodes.collect()}
     assert ("E1", "Module") in types
     assert ("E2", "Module") in types
+
+
+def test_edge_dedupe_equals_two_level_reference_model(spark):
+    """Property: the single id-keyed min_by dedupe (edges.build_edges)
+    equals the two-level reference rule — per-triple first-wins by
+    (doc, span), then first-wins across id-colliding triples — on
+    randomized candidate sets dense in '->'/'::' separator names (the
+    id concat's adversarial domain). The oracle keeps the two-level SQL
+    formulation; this pins the equivalence the Spark side relies on."""
+    import random
+
+    from ummon_spark.operators.edges import build_edges
+
+    frags = ["a", "b", "ab", "a->b", "x::y", "->", "::", "m->", "::p", "q"]
+    preds = ["defines", "calls", "references", "imports", "contains"]
+    rng = random.Random(1234)
+    rows = []
+    for _ in range(400):
+        subj = "".join(rng.choices(frags, k=rng.randint(1, 3)))
+        obj = "".join(rng.choices(frags, k=rng.randint(1, 3)))
+        rows.append(
+            (
+                subj,
+                rng.choice(preds),
+                obj,
+                str(rng.randint(0, 5)),
+                rng.randint(0, 9),
+            )
+        )
+
+    # reference model: two-level dedupe
+    by_triple = {}
+    for subj, pred, obj, doc, span in rows:
+        key = (subj, pred, obj)
+        w = (doc, span)
+        if key not in by_triple or w < by_triple[key]:
+            by_triple[key] = w
+    by_id = {}
+    for (subj, pred, obj), (doc, span) in by_triple.items():
+        eid = f"{subj}->{obj}::{pred}"
+        cand = ((doc, span, subj, pred, obj), (subj, pred, obj, doc, span))
+        if eid not in by_id or cand[0] < by_id[eid][0]:
+            by_id[eid] = cand
+    expected = {
+        eid: (subj, pred, obj, doc, str(span))
+        for eid, (_, (subj, pred, obj, doc, span)) in by_id.items()
+    }
+
+    checked = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string, span_idx long"
+    )
+    got = {
+        r["id"]: (
+            r["subj"],
+            r["pred"],
+            r["obj"],
+            r["metadata"]["src_doc"],
+            r["metadata"]["src_span"],
+        )
+        for r in build_edges(None, None, checked=checked).collect()
+    }
+    assert got == expected
