@@ -66,3 +66,32 @@ def test_edge_dedupe_single_shuffle(spark):
     assert plan.count("partial_min_by") >= 1
     # no union of re-computed branches
     assert "Union" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """materialize_bucketed co-locates the join keys (nodes by id,
+    edges by subj, same bucket count): a downstream enrichment join
+    must plan as a bucket-local sort-merge join with NO Exchange on
+    either side — the layout that turns every nodes⋈edges join at
+    100 TB from a full network shuffle into co-located reads."""
+    from ummon_spark.pipeline import materialize_bucketed
+
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=True)
+    materialize_bucketed(g, "ummon_bucket_test", str(tmp_path / "bt"), n_buckets=4)
+    nodes = spark.table("ummon_bucket_test.nodes")
+    edges = spark.table("ummon_bucket_test.edges")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = edges.join(nodes, edges.subj == nodes.id).select(
+            edges.id, nodes.entity_type
+        )
+        assert j.count() > 0
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ummon_bucket_test.nodes")
+        spark.sql("DROP TABLE IF EXISTS ummon_bucket_test.edges")
