@@ -35,7 +35,6 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from ummon_spark.corpus import load_spans
     from ummon_spark.pipeline import build_graph, materialize
 
     t0 = time.time()
@@ -49,12 +48,22 @@ def main() -> None:
         n_triples = cp.results["edges"].row_count
         stages = {s: ("skipped" if r.skipped else "ran") for s, r in cp.results.items()}
     else:
-        spans = load_spans(spark, args.input)
+        from ummon_spark.corpus import load_documents, spanify
+
+        # a small input parquet is one split — repartition FIRST so
+        # spanify/replication/parse run at full parallelism instead of
+        # serializing input prep in one task; the tiny replication
+        # factor table broadcasts (a plain crossJoin would shuffle the
+        # document table against it)
+        docs = load_documents(spark, args.input).repartition(
+            spark.sparkContext.defaultParallelism * 4
+        )
+        spans = spanify(docs)
         if args.replicate > 1:
             reps = spark.range(args.replicate).select(
                 F.col("id").cast("string").alias("_rep")
             )
-            spans = spans.crossJoin(reps).select(
+            spans = spans.crossJoin(F.broadcast(reps)).select(
                 F.concat("doc_id", F.lit("#"), "_rep").alias("doc_id"), "spans"
             )
         g = build_graph(spans, persist=True)
