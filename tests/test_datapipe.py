@@ -472,3 +472,36 @@ def test_curate_embedding_near_dedupe(spark):
     )
     kept = near_dedupe_embeddings(docs, embs)
     assert {r["doc_id"] for r in kept.collect()} == {0, 2}
+
+
+def test_star_candidates_linear_and_survivors_match(spark):
+    """star=True LSH candidates are linear in bucket occupancy (k-1
+    pairs for a k-copy cluster vs C(k,2) all-pairs) and yield the SAME
+    keep-first survivors on mutual near-dup clusters."""
+    from ummon_spark.datapipe.dedup import (
+        dedup_survivors,
+        doc_tokens,
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    k = 12
+    rows = [(f"c{i:02d}", "boiler plate text shared by the whole cluster") for i in range(k)]
+    rows += [(f"u{i}", f"unique document number {i} with its own words {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = minhash_signatures(docs).persist()
+
+    allp = lsh_candidates(sigs)
+    starp = lsh_candidates(sigs, star=True)
+    n_all = allp.filter(F.col("a").startswith("c")).count()
+    n_star = starp.filter(F.col("a").startswith("c")).count()
+    assert n_all == k * (k - 1) // 2  # quadratic listing
+    assert n_star == k - 1  # linear star
+
+    toks = doc_tokens(docs).persist()
+    surv_all = {r["doc_id"] for r in dedup_survivors(docs, jaccard_pairs(toks, allp)).collect()}
+    surv_star = {r["doc_id"] for r in dedup_survivors(docs, jaccard_pairs(toks, starp)).collect()}
+    assert surv_all == surv_star
+    assert "c00" in surv_all and not any(d.startswith("c") and d != "c00" for d in surv_all)
+    sigs.unpersist(); toks.unpersist()

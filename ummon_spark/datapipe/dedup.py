@@ -71,17 +71,38 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return doc_tokens(documents).groupBy("doc_id").agg(*minhash_agg_columns())
 
 
-def lsh_candidates(signatures: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Unordered candidate pairs (a < b) sharing >= 1 LSH band."""
+def lsh_candidates(
+    signatures: DataFrame, n_bands: int = N_BANDS, star: bool = False
+) -> DataFrame:
+    """Unordered candidate pairs (a < b) sharing >= 1 LSH band.
+
+    star=False (default, the gate-pinned listing semantics): all pairs
+    within each band bucket — QUADRATIC in bucket occupancy, which is
+    the spec for pair listing but blows up on giant duplicate clusters
+    (the sf0.1 corpus holds clusters that yield 2.76M verified pairs
+    from 5,000 docs; a 10k-copy boilerplate cluster at 100 TB would be
+    ~50M candidates).
+
+    star=True (the survivors-path scale shape): each bucket contributes
+    only (bucket-min, member) pairs — LINEAR in occupancy. Dedupe
+    connectivity survives (every member links to the bucket rep, and CC
+    merges reps across bands), at the cost of pair-listing completeness
+    and some chain recall through the verify step (a member similar to
+    another member but not to the rep). Use for keep-first dedupe over
+    corpora with giant near-dup clusters; test_star_candidates_* pins
+    linear counts and survivor equality on mutual clusters.
+    """
     banded = signatures.select("doc_id", *band_columns(n_bands))
     pairs = None
     for b in range(n_bands):
-        left = banded.select(
-            F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk")
-        )
-        right = banded.select(
-            F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk")
-        )
+        bk = F.col(f"band{b}")
+        right = banded.select(F.col("doc_id").alias("b"), bk.alias("bk"))
+        if star:
+            left = banded.groupBy(bk.alias("bk")).agg(
+                F.min("doc_id").alias("a")
+            )
+        else:
+            left = banded.select(F.col("doc_id").alias("a"), bk.alias("bk"))
         p = left.join(right, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
