@@ -287,3 +287,64 @@ def test_condition_on_typed_payload_attrs(spark):
              for r in g.nodes.filter("entity_type = 'Function' AND doc_id != ''").collect()}
     assert flags["foo"] == (True, False, False, "int")
     assert flags["bar"] == (False, False, False, "")
+
+
+# --- oracle-backed parity for UQL constructs past the gate probes -----------
+# (the 9 registry uql_* gates cover like/or/has/traversals/Method; these
+# pin the Field structural view, the infix-not quirk, and != end-to-end
+# against the same DuckDB GRAPH_CTES oracle, at sf0.001)
+
+
+def _uql_oracle_parity(spark, duck, uql: str, oracle_body: str):
+    from conftest import SF_SMOKE
+
+    from ummon_spark import gate, oracle
+    from ummon_spark.query.executor import execute_query
+
+    g = gate._graph(spark, SF_SMOKE)
+    out = execute_query(g.nodes, g.edges, uql).select(
+        "id", "name", "entity_type", "doc_id", "containing_entity"
+    )
+    srows = sorted(tuple(r) for r in out.collect())
+    res = duck.sql(oracle.q(oracle.GRAPH_CTES, oracle_body))
+    drows = sorted(tuple(r) for r in res.fetchall())
+    assert len(srows) > 0, f"vacuous parity for {uql!r}"
+    assert srows == drows, f"{uql!r} diverges from oracle"
+
+
+def test_uql_select_fields_view_parity(spark, duck):
+    """Field = a Variable some type Contains (structural view twin of
+    the Method view); `has type_annotation` filters the typed payload."""
+    _uql_oracle_parity(
+        spark,
+        duck,
+        "select fields where has type_annotation",
+        """SELECT n.id, n.name, n.entity_type, n.doc_id, n.containing_entity
+FROM all_nodes n JOIN nodes raw ON raw.id = n.id
+WHERE n.entity_type = 'Variable'
+  AND coalesce(regexp_extract(raw.detail, '^:([^=]*)', 1), '') <> ''
+  AND EXISTS (SELECT 1 FROM edges e WHERE e.pred = 'contains' AND e.obj = n.id)""",
+    )
+
+
+def test_uql_infix_not_quirk_parity(spark, duck):
+    """Faithful reference quirk end-to-end: `a not b` DISCARDS a and
+    executes Not(b) (parser.rs:308) — the result is the complement of
+    the right condition, the left never applies."""
+    _uql_oracle_parity(
+        spark,
+        duck,
+        "select functions where name = 'zzz_never' not name like 'k%'",
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Function' AND NOT (name ILIKE 'k%')",
+    )
+
+
+def test_uql_not_equals_parity(spark, duck):
+    _uql_oracle_parity(
+        spark,
+        duck,
+        "select classes where name != 'key'",
+        "SELECT id, name, entity_type, doc_id, containing_entity FROM all_nodes "
+        "WHERE entity_type = 'Class' AND name <> 'key'",
+    )
