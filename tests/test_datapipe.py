@@ -505,3 +505,22 @@ def test_star_candidates_linear_and_survivors_match(spark):
     assert surv_all == surv_star
     assert "c00" in surv_all and not any(d.startswith("c") and d != "c00" for d in surv_all)
     sigs.unpersist(); toks.unpersist()
+
+
+def test_curate_star_candidates_same_on_mutual_clusters(spark):
+    """CurationConfig(star_candidates=True) — the giant-cluster scale
+    setting — keeps the same documents as all-pairs on corpora whose
+    near-dup clusters are mutual (exact copies)."""
+    from ummon_spark.datapipe.curate import CurationConfig, curate
+
+    rows = [(i, f"unique doc {i} with the usual stop words here") for i in range(8)]
+    rows += [(100 + i, "the same boilerplate body repeated verbatim") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = CurationConfig(min_tokens=3, n_per_stratum=50)
+    star = CurationConfig(min_tokens=3, n_per_stratum=50, star_candidates=True)
+    kept_all, rep_all = curate(docs, base)
+    kept_star, rep_star = curate(docs, star)
+    assert rep_all.counts == rep_star.counts
+    assert sorted(r["doc_id"] for r in kept_all.collect()) == sorted(
+        r["doc_id"] for r in kept_star.collect()
+    )

@@ -43,6 +43,12 @@ class CurationConfig:
     jaccard_num: int = 4
     jaccard_den: int = 5
     n_per_stratum: int = 1_000_000
+    # star-shaped LSH candidates (bucket-min ↔ member): linear in
+    # bucket occupancy instead of quadratic — the scale setting for
+    # corpora with giant near-dup clusters (measured 14× on the sf0.1
+    # cluster-heavy corpus), at the documented chain-recall trade-off
+    # of verifying members against the bucket rep only
+    star_candidates: bool = False
 
 
 @dataclass
@@ -88,7 +94,7 @@ def near_dedupe(documents: DataFrame, cfg: CurationConfig) -> DataFrame:
     sigs = minhash_signatures(documents)
     pairs = jaccard_pairs(
         doc_tokens(documents),
-        lsh_candidates(sigs),
+        lsh_candidates(sigs, star=cfg.star_candidates),
         cfg.jaccard_num,
         cfg.jaccard_den,
     )
@@ -161,7 +167,7 @@ def curate_checkpointed(
     cfg_sig = (
         f"{input_signature}|cfg:{cfg.min_tokens},{cfg.max_token_len},"
         f"{cfg.min_stopword_hits_per_100},{cfg.jaccard_num},"
-        f"{cfg.jaccard_den},{cfg.n_per_stratum}"
+        f"{cfg.jaccard_den},{cfg.n_per_stratum},star={cfg.star_candidates}"
     )
     cp = CheckpointManager(spark, base_dir, run_id)
     docs0 = cp.stage("input", lambda: documents, (), cfg_sig)
