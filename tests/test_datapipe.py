@@ -524,3 +524,80 @@ def test_curate_star_candidates_same_on_mutual_clusters(spark):
     assert sorted(r["doc_id"] for r in kept_all.collect()) == sorted(
         r["doc_id"] for r in kept_star.collect()
     )
+
+
+def test_scrub_text_oracle_parity_and_semantics(spark, duck):
+    """PII/noise scrub: unit semantics + DuckDB parity over the driver
+    corpus (same RE2-compatible patterns run on both engines)."""
+    from ummon_spark.datapipe.textstats import SCRUB_PATTERNS, scrub_text
+
+    rows = [
+        (1, "see https://example.com/x?q=1 and mail a.b+c@test.org now"),
+        (2, "call 555-123 4567 or 1234567 but keep 42 and 2024"),
+        (3, "clean document with nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert out["1"]["scrubbed"] == "see <URL> and mail <EMAIL> now"
+    assert out["1"]["n_scrubbed"] == 2
+    assert out["2"]["scrubbed"] == "call <NUM> or <NUM> but keep 42 and 2024"
+    assert out["3"]["n_scrubbed"] == 0
+
+    # parity at sf0.001: identical staged regexp chain in DuckDB
+    from conftest import SF_SMOKE
+
+    sdf = scrub_text(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    srows = sorted((r["doc_id"], r["scrubbed"], r["n_scrubbed"]) for r in sdf.collect())
+    repl = "text"
+    for _, pat, rep in SCRUB_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{rep}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
+    )
+    drows = sorted(
+        duck.sql(
+            f"SELECT CAST(doc_id AS VARCHAR), {repl}, CAST({counts} AS BIGINT) FROM documents"
+        ).fetchall()
+    )
+    assert srows == drows
+
+
+def test_repetition_stats_oracle_parity(spark, duck):
+    from conftest import SF_SMOKE
+
+    from ummon_spark.datapipe.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "q"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # trigrams of 'a b a b a b': [aba, bab, aba, bab] -> 2 dups
+    assert (out["1"]["n_ngrams"], out["1"]["n_distinct"], out["1"]["dup_ngrams"]) == (4, 2, 2)
+    assert out["2"]["n_ngrams"] == 1 and out["2"]["dup_ngrams"] == 0
+    assert out["3"]["n_ngrams"] == 0  # shorter than n
+
+    sdf = repetition_stats(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(
+        duck.sql(
+            """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 2 > 0 THEN
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+         ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id, CAST(len(g) AS BIGINT),
+       CAST(len(list_distinct(g)) AS BIGINT),
+       CAST(len(g) - len(list_distinct(g)) AS BIGINT)
+FROM grams"""
+        ).fetchall()
+    )
+    assert srows == drows

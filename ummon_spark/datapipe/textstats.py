@@ -264,3 +264,65 @@ def stratified_sample(
         .filter(F.col("rank") <= n_per_stratum)
         .select("doc_id", "lang", "rank")
     )
+
+
+# --- scrubbing + repetition (round 4 curation additions) -------------------
+
+# conservative, deterministic patterns (RE2/Java-compatible: no
+# backrefs/lookaround, so the same regex runs in Spark codegen AND the
+# DuckDB oracle). Order matters: URLs first so emails inside URLs are
+# already gone.
+SCRUB_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 7+ digit runs (phone-like / id-like), optionally dash/space
+    # separated; keeps short quantities intact
+    ("longnum", r"\d[\d \-]{5,}\d", "<NUM>"),
+)
+
+
+def scrub_text(documents: DataFrame) -> DataFrame:
+    """(doc_id, text, scrubbed, n_scrubbed): URLs / emails / long digit
+    runs replaced by typed placeholder tokens — the PII/noise scrub
+    stage of a training-data pipeline. Pure regexp_replace chain
+    (whole-stage codegen, no shuffle); n_scrubbed counts replacements
+    so lineage can report scrub rates per partition."""
+    scrubbed = F.col("text")
+    for _, pat, repl in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    n = F.lit(0)
+    for _, pat, _ in SCRUB_PATTERNS:
+        # count on the PRE-scrub text: patterns don't overlap after the
+        # URL pass, and the oracle mirrors the same staged counting
+        n = n + F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text"),
+        scrubbed.alias("scrubbed"),
+        n.cast("bigint").alias("n_scrubbed"),
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_ngrams, n_distinct, dup_ngrams): duplicate word
+    n-gram counts — the Gopher-style repetition quality signal (a doc
+    whose trigrams are mostly repeats is boilerplate/spam). Integer
+    counts (float-free oracle); one narrow projection, no shuffle:
+    the n-gram list and its distinct count are per-row array ops."""
+    toks = _tokens()
+    n_grams = F.size(toks) - n + 1
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(grams).cast("bigint").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        .cast("bigint")
+        .alias("dup_ngrams"),
+    )
