@@ -601,3 +601,20 @@ FROM grams"""
         ).fetchall()
     )
     assert srows == drows
+
+
+def test_curate_scrub_stage(spark):
+    """CurationConfig(scrub=True): the kept output carries scrubbed
+    text, and docs whose quality depended only on scrubbed tokens
+    still flow through the chain deterministically."""
+    from ummon_spark.datapipe.curate import CurationConfig, curate
+
+    rows = [
+        (1, "visit https://spam.example.com/page now for the offer details"),
+        (2, "plain document with enough ordinary words to keep"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, rep = curate(docs, CurationConfig(min_tokens=3, n_per_stratum=50, scrub=True))
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert "<URL>" in texts[1] and "https://" not in texts[1]
+    assert rep.counts["input"] == 2

@@ -49,6 +49,10 @@ class CurationConfig:
     # cluster-heavy corpus), at the documented chain-recall trade-off
     # of verifying members against the bucket rep only
     star_candidates: bool = False
+    # scrub URLs/emails/long digit runs to typed placeholders BEFORE
+    # quality stats (textstats.SCRUB_PATTERNS) — downstream stages and
+    # the kept output then see scrubbed text
+    scrub: bool = False
 
 
 @dataclass
@@ -116,6 +120,10 @@ def curate(
     the per-stage lineage record, worth one job each)."""
     cfg = cfg or CurationConfig()
     report = CurationReport()
+    if cfg.scrub:
+        from .textstats import scrub_documents
+
+        documents = scrub_documents(documents)
     report.counts["input"] = documents.count()
 
     staged = quality_filter(documents, cfg)
@@ -167,9 +175,14 @@ def curate_checkpointed(
     cfg_sig = (
         f"{input_signature}|cfg:{cfg.min_tokens},{cfg.max_token_len},"
         f"{cfg.min_stopword_hits_per_100},{cfg.jaccard_num},"
-        f"{cfg.jaccard_den},{cfg.n_per_stratum},star={cfg.star_candidates}"
+        f"{cfg.jaccard_den},{cfg.n_per_stratum},star={cfg.star_candidates},"
+        f"scrub={cfg.scrub}"
     )
     cp = CheckpointManager(spark, base_dir, run_id)
+    if cfg.scrub:
+        from .textstats import scrub_documents
+
+        documents = scrub_documents(documents)
     docs0 = cp.stage("input", lambda: documents, (), cfg_sig)
     q = cp.stage(
         "quality", lambda: quality_filter(docs0, cfg), ("input",), cfg_sig

@@ -326,3 +326,13 @@ def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
         .cast("bigint")
         .alias("dup_ngrams"),
     )
+
+
+def scrub_documents(documents: DataFrame) -> DataFrame:
+    """Same schema as the input with `text` replaced by its scrubbed
+    form — the in-place variant curation chains use (scrub_text is the
+    analytical form with counters)."""
+    scrubbed = F.col("text")
+    for _, pat, repl in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return documents.withColumn("text", scrubbed)
