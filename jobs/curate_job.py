@@ -28,6 +28,16 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--per-stratum", type=int, default=1_000_000)
     ap.add_argument("--checkpoints", help="stage checkpoint dir (resumable)")
+    ap.add_argument(
+        "--scrub",
+        action="store_true",
+        help="rewrite URLs/emails/long digit runs to typed placeholders first",
+    )
+    ap.add_argument(
+        "--star-candidates",
+        action="store_true",
+        help="linear-occupancy LSH candidates (giant-duplicate-cluster corpora)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("ummon_spark_curate").getOrCreate()
@@ -40,7 +50,10 @@ def main() -> None:
     )
 
     cfg = CurationConfig(
-        min_tokens=args.min_tokens, n_per_stratum=args.per_stratum
+        min_tokens=args.min_tokens,
+        n_per_stratum=args.per_stratum,
+        scrub=args.scrub,
+        star_candidates=args.star_candidates,
     )
     docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
     if args.checkpoints:
