@@ -227,6 +227,49 @@ def q_cosine_near_dups_banded(spark, sf_dir):
     )
 
 
+# The driver corpus text has no URLs/emails/long digit runs, so an
+# unsalted scrub gate would be value-vacuous (every n_scrubbed = 0).
+# Same planting pattern as the dedup gates: deterministic scrubbable
+# rows derived from the first N docs; the oracle plants identically.
+N_PLANTED_SCRUB = 5
+
+
+def _scrub_planted(docs):
+    from pyspark.sql import functions as F
+
+    return docs.filter(
+        F.col("doc_id").cast("bigint") < N_PLANTED_SCRUB
+    ).select(
+        F.concat(F.lit("scrub::"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("visit https://ex.com/"),
+            F.col("doc_id"),
+            F.lit(" mail a"),
+            F.col("doc_id"),
+            F.lit("@ex.org call 123-456 7890 end"),
+        ).alias("text"),
+    )
+
+
+def q_scrub(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.textstats import scrub_text
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return scrub_text(docs.unionByName(_scrub_planted(docs))).select(
+        "doc_id", "scrubbed", "n_scrubbed"
+    )
+
+
+def q_repetition(spark, sf_dir):
+    from .datapipe.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -251,6 +294,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_cosine_near_dups": q_cosine_near_dups,
     "dp_cosine_near_dups_banded": q_cosine_near_dups_banded,
     "dp_ngram_jaccard": q_ngram_jaccard,
+    "dp_scrub": q_scrub,
+    "dp_repetition": q_repetition,
 }
 
 
@@ -431,6 +476,36 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 _T2 = (COS_THRESH_MILLI / 1000.0) ** 2
+
+
+
+def _scrub_oracle() -> str:
+    """DuckDB twin of textstats.scrub_text over corpus + planted
+    scrubbable rows: the same staged regexp chain (RE2-compatible
+    patterns; DuckDB needs the explicit 'g' flag Spark applies by
+    default), counts on the pre-scrub text."""
+    from .datapipe.textstats import SCRUB_PATTERNS
+
+    repl = "text"
+    for _, pat, rep in SCRUB_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{rep}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
+    )
+    return f"""WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+srows AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT concat('scrub::', doc_id),
+         concat('visit https://ex.com/', doc_id, ' mail a', doc_id,
+                '@ex.org call 123-456 7890 end')
+  FROM base WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_SCRUB}
+)
+SELECT doc_id, {repl} AS scrubbed, CAST({counts} AS BIGINT) AS n_scrubbed
+FROM srows"""
+
 
 ORACLES: dict[str, str] = {
     "dp_doc_hashes": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents",
@@ -675,4 +750,21 @@ SELECT a, b, dot, na2, nb2 FROM (
 WHERE dot > 0
   AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
       >= {_T2} * (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))""",
+    "dp_scrub": _scrub_oracle(),
+    "dp_repetition": """WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 2 > 0 THEN
+           list_transform(generate_series(1, len(t) - 2),
+                          i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+         ELSE [] END AS g
+  FROM toks
+)
+SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+       CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS dup_ngrams
+FROM grams""",
 }

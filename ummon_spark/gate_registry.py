@@ -97,6 +97,8 @@ FAMILIES: dict[str, str] = {
     "dp_ivf_topk": "ann",
     "dp_cosine_near_dups": "cosine-neardup",
     "dp_cosine_near_dups_banded": "cosine-neardup",
+    "dp_scrub": "scrub",
+    "dp_repetition": "repetition",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
@@ -115,9 +117,9 @@ TAIL: dict[str, tuple[tuple[str, ...], str]] = {
         "(depicts)",
     ),
     "kg_canonical_map": (
-        ("kg_canonical_edges", "kg_canonical_nodes"),
-        "both rewrites consume the mapping — a wrong CC mapping breaks "
-        "either in-window gate",
+        ("kg_canonical_edges",),
+        "the edge rewrite consumes the mapping on BOTH endpoints — a "
+        "wrong CC mapping breaks the in-window gate",
     ),
     "kg_locations": (
         ("kg_nodes",),
@@ -159,6 +161,19 @@ TAIL: dict[str, tuple[tuple[str, ...], str]] = {
     "dp_fingerprints": (
         ("dp_winnow",),
         "winnowing consumes the same rolling-hash shingle machinery",
+    ),
+    # displaced mid-round-4 to make window room for the NEW dp_scrub +
+    # dp_repetition gates (new operators deserve driver verification;
+    # these two are the redundant probes of already-multi-gated families)
+    "dp_topk_cosine": (
+        ("dp_ivf_topk", "dp_lsh_topk_cosine"),
+        "the exact brute-force top-k is the baseline both approximate "
+        "gates' oracles recompute; probe-all==exact is also unit-tested",
+    ),
+    "kg_canonical_nodes": (
+        ("kg_canonical_edges",),
+        "consumes the same persisted mapping as the edge rewrite; the "
+        "keep-representative rule is pinned by test_cc_linking",
     ),
 }
 
