@@ -391,6 +391,73 @@ def q_call_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental/CDC parity (S3-S5, driver-visible; VERDICT r4 #1) --------
+# Deterministic "modified" subset: doc_id % INCR_MOD == INCR_REMAINDER.
+# The stale pre-update corpus truncates each modified doc's span tail,
+# so prune really removes rows (nodes, edges, media winners) and the
+# merge really restores them from the fresh reparse.
+INCR_MOD = 7
+INCR_REMAINDER = 3
+INCR_STALE_DROP = 5
+
+
+def q_incremental_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side builds a STALE graph (modified docs truncated),
+    then runs the REAL incremental path — prune + rebuild-changed +
+    merge (incremental.py) — while the oracle recomputes the FULL graph
+    from scratch. Parity proves incremental == full rebuild, the
+    property the reference enforces with mtime CDC + deterministic-id
+    upserts (src/commands/index.rs:482-510, 513-678; db.rs:677-733)."""
+    from .incremental import incremental_update
+
+    spans = load_spans(spark, sf_dir)
+    is_mod = F.col("doc_id").cast("bigint") % INCR_MOD == INCR_REMAINDER
+    stale = spans.filter(is_mod).withColumn(
+        "spans",
+        F.slice(
+            "spans", 1, F.greatest(F.size("spans") - INCR_STALE_DROP, F.lit(1))
+        ),
+    )
+    old = build_graph(spans.filter(~is_mod).unionByName(stale), persist=True)
+    g = incremental_update(old, spans.filter(is_mod), persist=True)
+    nodes = g.nodes.select(
+        F.lit("node").alias("part"),
+        "id",
+        F.col("name").alias("x1"),
+        F.col("entity_type").alias("x2"),
+        F.col("doc_id").alias("x3"),
+        F.col("containing_entity").alias("x4"),
+    )
+    edges = g.edges.select(
+        F.lit("edge").alias("part"),
+        "id",
+        F.col("subj").alias("x1"),
+        F.col("pred").alias("x2"),
+        F.col("obj").alias("x3"),
+        F.lit("").alias("x4"),
+    )
+    return nodes.unionByName(edges)
+
+
+def q_media_hotkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule skew pillar, driver-visible: per-media_ref counts over
+    the zipf-skewed media spans, computed THROUGH the two-phase salted
+    aggregation (operators/skew.salted_hot_count — partial agg on
+    (key, salt) spreads each hub ref over 16 reducers, final agg
+    combines). The oracle's plain GROUP BY pins salted == plain."""
+    from .operators.skew import salted_hot_count
+
+    media = explode_spans(load_spans(spark, sf_dir)).filter(
+        F.col("media_ref") != ""
+    )
+    # doc_id/span_idx ride along so the row-hash salt varies WITHIN a
+    # hot key (salting a lone key column would put every row of a hub
+    # on one salt and change nothing)
+    return salted_hot_count(
+        media.select("media_ref", "doc_id", "span_idx"), "media_ref"
+    )
+
+
 RELEVANCE_CHANGE = "key join"  # R1 fallback -> keywords ['key', 'join']
 
 
@@ -468,6 +535,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dm_represented_by": q_dm_represented_by,
     "dm_relates_to": q_dm_relates_to,
     "kg_visibility": q_visibility,
+    "kg_incremental_parity": q_incremental_parity,
+    "kg_media_hotkeys": q_media_hotkeys,
 }
 
 
@@ -918,6 +987,21 @@ SELECT DISTINCT concat(a.concept, '->', b.concept, '::relates_to') AS id,
        a.concept AS subj, 'relates_to' AS pred, b.concept AS obj
 FROM anchors a JOIN rwalk w ON w.root = a.id
 JOIN anchors b ON b.id = w.dst AND b.concept <> a.concept""",
+    # incremental parity: the oracle is the FULL from-scratch build —
+    # the Spark side must land on the identical graph via prune+merge
+    "kg_incremental_parity": oracle.q(
+        oracle.GRAPH_CTES,
+        """SELECT 'node' AS part, id, name AS x1, entity_type AS x2,
+       doc_id AS x3, containing_entity AS x4
+FROM all_nodes
+UNION ALL
+SELECT 'edge', id, subj, pred, obj, '' FROM edges""",
+    ),
+    "kg_media_hotkeys": oracle.q(
+        oracle.SPANS_CTES,
+        "SELECT media_ref, COUNT(*) AS n FROM spans "
+        "WHERE media_ref <> '' GROUP BY media_ref",
+    ),
     "kg_visibility": oracle.q(
         oracle.GRAPH_CTES,
         """SELECT n.id, n.entity_type,

@@ -99,6 +99,9 @@ FAMILIES: dict[str, str] = {
     "dp_cosine_near_dups_banded": "cosine-neardup",
     "dp_scrub": "scrub",
     "dp_repetition": "repetition",
+    # round-5 in-window additions (VERDICT r4 next-round #1 and #8)
+    "kg_incremental_parity": "incremental",
+    "kg_media_hotkeys": "skew",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
@@ -132,7 +135,7 @@ TAIL: dict[str, tuple[tuple[str, ...], str]] = {
         "function of the obj id shape",
     ),
     "dm_represented_by": (
-        ("dm_relates_to", "dm_concepts"),
+        ("dm_relates_to",),
         "relates_to builds on the represented_by anchors — anchor "
         "drift breaks the in-window gate",
     ),
@@ -175,7 +178,32 @@ TAIL: dict[str, tuple[tuple[str, ...], str]] = {
         "consumes the same persisted mapping as the edge rewrite; the "
         "keep-representative rule is pinned by test_cc_linking",
     ),
+    # rotated out round-5 to make window room for kg_incremental_parity
+    # + kg_media_hotkeys (both eligible: green in CORRECTNESS_r03 AND
+    # r04, in-window subsumers named below)
+    "dp_cosine_near_dups": (
+        ("dp_cosine_near_dups_banded",),
+        "the banded gate runs the same quantized dot/norm verify and "
+        "threshold over a candidate superset shape; the planted "
+        "cosine-1.0 pairs land in both outputs",
+    ),
+    "dm_concepts": (
+        ("dm_relates_to",),
+        "relates_to anchors on represented_by which anchors on the "
+        "concept set — concept drift shifts the in-window gate the "
+        "same run",
+    ),
 }
+
+
+def counts() -> dict[str, int]:
+    """Registry totals — the numbers driver-facing docs must quote
+    (test_gate_registry asserts the prose stays in sync)."""
+    return {
+        "total": len(FAMILIES),
+        "window": len(FAMILIES) - len(TAIL),
+        "tail": len(TAIL),
+    }
 
 
 def ordered(merged: dict) -> dict:

@@ -76,6 +76,19 @@ _TYPE_KINDS = {
     "struct": "Struct",
 }
 
+# every span kind that yields a mention (S2 supported-content filter;
+# everything else — 'text' — is the unsupported-content skip)
+SUPPORTED_KINDS = (
+    "def",
+    *_TYPE_KINDS,
+    "var",
+    "const",
+    "call",
+    "import",
+    "doc",
+    *_MEDIA,
+)
+
 
 def explode_spans(spans_df: DataFrame) -> DataFrame:
     """(doc_id, spans[]) -> one row per span, order preserved via span_idx.
