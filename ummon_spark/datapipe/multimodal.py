@@ -1,15 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Pixel kernels: binary PPM (P6) — an uncompressed format — is decoded,
-feature-extracted and resized FOR REAL with numpy only (no media libs
-needed): `_parse_ppm` / `encode_ppm` / nearest-neighbor `_resize_ppm`.
-Compressed codecs (PNG/JPEG/...) remain STUBS in this container (no
-image/audio libraries): they raise NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (md5-seeded
-dimensions/features) exercises the real Spark plumbing — schema,
-partitioning, Arrow batch shape, UDF signature — end-to-end. Swap the
-codec branch with Pillow/av calls on a real cluster.
+Pixel kernels: binary PPM (P6) AND PNG (non-interlaced 8-bit RGB/RGBA)
+decode, feature-extract and resize FOR REAL with stdlib zlib + numpy
+only (no media libs needed): `_parse_ppm`/`encode_ppm`,
+`_parse_png`/`encode_png` (full five-filter scanline unfilter),
+nearest-neighbor `_resize_ppm`. Remaining codecs (JPEG, audio, video,
+exotic PNG variants) are STUBS in this container (no codec libraries):
+they raise NotImplementedError unless `fake=True`, in which case a
+deterministic fake decoder (md5-seeded dimensions/features) exercises
+the real Spark plumbing — schema, partitioning, Arrow batch shape, UDF
+signature — end-to-end. Swap those branches for Pillow/av on a real
+cluster.
 
 Design notes for 100 TB of media:
 * media bytes travel as `binary` columns in their own table keyed by
@@ -107,6 +109,131 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+# --- real PNG (non-interlaced 8-bit RGB/RGBA): stdlib zlib + numpy --------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(payload) -> bool:
+    return payload is not None and bytes(payload[:8]) == PNG_SIG
+
+
+def _parse_png(payload: bytes):
+    """PNG payload -> (width, height, HxWxC uint8 array) for bit depth
+    8, color type 2 (RGB) / 6 (RGBA), non-interlaced — the common case
+    a crawler actually stores. Pure stdlib zlib + numpy: chunk walk
+    (IHDR/IDAT*/IEND, CRCs skipped on read), one inflate, per-scanline
+    unfilter of all five PNG filter types (None/Sub/Up/Average/Paeth).
+    Interlaced, paletted, grayscale or 16-bit inputs raise — those are
+    the cases for a codec lib on a real cluster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = channels = None
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + length/tag/CRC words
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+            if ctype not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {ctype} (RGB=2/RGBA=6 only)"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            channels = 3 if ctype == 2 else 4
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub: prefix sum per channel, wraps mod 256
+            cur = (
+                line.reshape(width, channels)
+                .astype(np.uint64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256
+        elif ft in (3, 4):  # Average / Paeth: serial left-dependency
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return width, height, out.reshape(height, width, channels)
+
+
+def encode_png(arr) -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 array -> non-interlaced 8-bit
+    PNG with filter-0 scanlines — enough to round-trip the decode
+    kernel and re-emit resized payloads without a codec lib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c not in (3, 4):
+        raise ValueError(f"encode_png needs 3 or 4 channels, got {c}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _ppm_features(arr) -> list[float]:
     """Per-channel mean intensity in [0, 1] — the deterministic feature
     vector of the real decode path (float64 means, exact-testable)."""
@@ -141,18 +268,24 @@ def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real decode: PPM (P6) payloads via the numpy kernel; any other
-    format needs codec libs this container lacks -> NotImplementedError."""
+    """Real decode: PPM (P6) and PNG (non-interlaced 8-bit RGB/RGBA)
+    payloads via the stdlib-zlib + numpy kernels; remaining formats
+    (JPEG/audio/video) need codec libs this container lacks ->
+    NotImplementedError."""
     out = []
     for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
         if kind == "image" and is_ppm(payload):
             w, h, arr = _parse_ppm(payload)
             out.append((ref, kind, w, h, 1, _ppm_features(arr)))
+        elif kind == "image" and is_png(payload):
+            w, h, arr = _parse_png(payload)
+            out.append((ref, kind, w, h, 1, _ppm_features(arr)))
         else:
             raise NotImplementedError(
                 f"real decode for media_ref={ref!r} ({kind}): only "
-                "uncompressed PPM (P6) images decode without codec libs; "
-                "pass fake=True for the deterministic stub decoder"
+                "uncompressed PPM (P6) and non-interlaced 8-bit RGB/RGBA "
+                "PNG decode without codec libs; pass fake=True for the "
+                "deterministic stub decoder"
             )
     return pd.DataFrame(
         out, columns=["media_ref", "kind", "width", "height", "n_frames", "features"]
@@ -227,11 +360,15 @@ def resize_media(
                 elif is_ppm(payload):
                     _, _, arr = _parse_ppm(payload)
                     body = encode_ppm(_resize_ppm(arr, int(nw), int(nh)))
+                elif is_png(payload):
+                    _, _, arr = _parse_png(payload)
+                    body = encode_png(_resize_ppm(arr, int(nw), int(nh)))
                 else:
                     raise NotImplementedError(
-                        f"real resample for media_ref={ref!r}: only "
-                        "uncompressed PPM (P6) resamples without codec "
-                        "libs; pass fake=True for the deterministic stub"
+                        f"real resample for media_ref={ref!r}: only PPM "
+                        "(P6) and non-interlaced 8-bit RGB/RGBA PNG "
+                        "resample without codec libs; pass fake=True for "
+                        "the deterministic stub"
                     )
                 out.append((ref, int(nw), int(nh), body))
             yield pd.DataFrame(
