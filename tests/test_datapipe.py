@@ -657,6 +657,10 @@ def test_scrub_text_oracle_parity_and_semantics(spark, duck):
         (1, "see https://example.com/x?q=1 and mail a.b+c@test.org now"),
         (2, "call 555-123 4567 or 1234567 but keep 42 and 2024"),
         (3, "clean document with nothing to scrub"),
+        # patterns NESTED inside a URL: one replacement, one count
+        # (ADVICE r4 — counts run on the progressively-scrubbed text)
+        (4, "go http://x.com/user@b.com now"),
+        (5, "go http://x.com/id/1234567890 now"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in scrub_text(df).collect()}
@@ -664,6 +668,10 @@ def test_scrub_text_oracle_parity_and_semantics(spark, duck):
     assert out["1"]["n_scrubbed"] == 2
     assert out["2"]["scrubbed"] == "call <NUM> or <NUM> but keep 42 and 2024"
     assert out["3"]["n_scrubbed"] == 0
+    assert out["4"]["scrubbed"] == "go <URL> now"
+    assert out["4"]["n_scrubbed"] == 1
+    assert out["5"]["scrubbed"] == "go <URL> now"
+    assert out["5"]["n_scrubbed"] == 1
 
     # parity at sf0.001: identical staged regexp chain in DuckDB
     from conftest import SF_SMOKE
@@ -671,11 +679,11 @@ def test_scrub_text_oracle_parity_and_semantics(spark, duck):
     sdf = scrub_text(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
     srows = sorted((r["doc_id"], r["scrubbed"], r["n_scrubbed"]) for r in sdf.collect())
     repl = "text"
+    count_terms = []
     for _, pat, rep in SCRUB_PATTERNS:
+        count_terms.append(f"len(regexp_extract_all({repl}, '{pat}'))")
         repl = f"regexp_replace({repl}, '{pat}', '{rep}', 'g')"
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
-    )
+    counts = " + ".join(count_terms)
     drows = sorted(
         duck.sql(
             f"SELECT CAST(doc_id AS VARCHAR), {repl}, CAST({counts} AS BIGINT) FROM documents"

@@ -287,14 +287,17 @@ def scrub_text(documents: DataFrame) -> DataFrame:
     stage of a training-data pipeline. Pure regexp_replace chain
     (whole-stage codegen, no shuffle); n_scrubbed counts replacements
     so lineage can report scrub rates per partition."""
-    scrubbed = F.col("text")
-    for _, pat, repl in SCRUB_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    # each pattern counts on the PROGRESSIVELY-scrubbed text (ADVICE
+    # r4): a pattern nested inside an earlier match (an email or digit
+    # run inside a URL) is replaced once and counted once — n_scrubbed
+    # is exactly the number of replacements performed. Oracle mirrors
+    # the same staging.
+    staged = F.col("text")
     n = F.lit(0)
-    for _, pat, _ in SCRUB_PATTERNS:
-        # count on the PRE-scrub text: patterns don't overlap after the
-        # URL pass, and the oracle mirrors the same staged counting
-        n = n + F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    for _, pat, repl in SCRUB_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0)))
+        staged = F.regexp_replace(staged, pat, repl)
+    scrubbed = staged
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text"),

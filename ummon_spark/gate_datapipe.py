@@ -483,15 +483,17 @@ def _scrub_oracle() -> str:
     """DuckDB twin of textstats.scrub_text over corpus + planted
     scrubbable rows: the same staged regexp chain (RE2-compatible
     patterns; DuckDB needs the explicit 'g' flag Spark applies by
-    default), counts on the pre-scrub text."""
+    default). Each pattern counts on the progressively-scrubbed text,
+    exactly as the Spark side stages it — n_scrubbed == replacements
+    performed."""
     from .datapipe.textstats import SCRUB_PATTERNS
 
     repl = "text"
+    count_terms = []
     for _, pat, rep in SCRUB_PATTERNS:
+        count_terms.append(f"len(regexp_extract_all({repl}, '{pat}'))")
         repl = f"regexp_replace({repl}, '{pat}', '{rep}', 'g')"
-    counts = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in SCRUB_PATTERNS
-    )
+    counts = " + ".join(count_terms)
     return f"""WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
 ),

@@ -31,9 +31,14 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
   lineage column is stable under repartitioning.
 * The id concat is NOT injective ('->' can occur inside
   whitespace-split tokens), so after the triple-keyed dedupe an
-  id-keyed first-wins pass collapses adversarial collisions — restoring
-  the reference's collapse-by-id (the DB's INSERT OR REPLACE keyed on
-  id, relationship.rs:89-105). The pass runs ONLY on the slice whose
+  id-keyed first-wins pass collapses adversarial collisions — the
+  analog of the reference DB's collapse-by-id (INSERT OR REPLACE keyed
+  on id, relationship.rs:89-105), with one deliberate divergence:
+  REPLACE keeps the LAST arrival (insertion-order dependent), while
+  this pass deterministically keeps the FIRST by (src_doc, src_span,
+  triple) so the result is stable under repartitioning — same
+  determinism-over-arrival-order choice as the triple dedupe above,
+  and oracle-locked. The pass runs ONLY on the slice whose
   subj or obj contains '->': when neither does, the id holds exactly
   one '->' (preds contain neither '->' nor ':'), which pins the
   subj/obj split and makes the concat injective on that slice — and a
@@ -41,9 +46,12 @@ Reproduces the reference's relationship build (SURVEY.md §2.3 G2-G6):
   the second shuffle entirely (it is the whole table on non-adversarial
   corpora; measured ~10% of build throughput at bench scale).
 * metadata carries the winning mention's provenance
-  {src_doc, src_span} — the per-edge HashMap<String,String> payload of
-  the reference (relationship.rs:61-69), populated with the (doc_id,
-  span_idx) lineage the north_rule's per-partition checkpointing reads.
+  {src_doc, src_span}. The metadata field itself is the reference's
+  per-edge HashMap<String,String> (relationship.rs:61-69), but the
+  reference INDEXER always leaves it empty (only its tests populate
+  it) — filling it with (doc_id, span_idx) lineage is this engine's
+  EXTENSION, feeding the north_rule's per-partition checkpoint
+  counters.
 """
 
 from __future__ import annotations
