@@ -115,6 +115,29 @@ def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:
         )
         timed("q_degree", lambda: degree(edges).count())
 
+        # bucketed-layout variant: nodes bucketBy(id) / edges
+        # bucketBy(subj), same count — the BFS root round (id==subj)
+        # plans with NO Exchange on either side and every later frontier
+        # round leaves the edge side exchange-free
+        # (test_bucketed_frontier_join_no_edge_exchange pins the plan).
+        # The one-time bucketed write is timed separately so the
+        # headline build metric stays comparable across rounds.
+        from ummon_spark.pipeline import materialize_bucketed
+
+        timed(
+            "bucketed_write",
+            lambda: materialize_bucketed(
+                g, "ummon_bench_bucketed", f"{out_dir}/bucketed",
+                n_buckets=actual_cores,
+            ),
+        )
+        bnodes = spark.table("ummon_bench_bucketed.nodes")
+        bedges = spark.table("ummon_bench_bucketed.edges")
+        timed(
+            "q_transitive_depends_bucketed",
+            lambda: transitive_depends(bnodes, bedges).count(),
+        )
+
         result = {
             "metric": "triples_per_sec",
             "value": round(n_triples / build_sec, 1),

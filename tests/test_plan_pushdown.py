@@ -95,3 +95,58 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ummon_bucket_test.nodes")
         spark.sql("DROP TABLE IF EXISTS ummon_bucket_test.edges")
+
+
+def test_bucketed_frontier_join_no_edge_exchange(spark, tmp_path):
+    """The BFS frontier join (transitive_closure's hot loop) on the
+    bucketed layout must never exchange the EDGE side — the big table.
+
+    Root round: roots come from nodes (bucketed by id) and join edges
+    (bucketed by subj, same count) on id==subj — NO Exchange on either
+    side. Later rounds: the frontier is a small derived frame, so only
+    IT exchanges (to the edge table's bucket partitioning); the edge
+    scan stays in place. At 100 TB this is the difference between
+    re-shuffling the full edge table O(diameter) times and shuffling
+    only the frontier."""
+    from pyspark.sql import functions as F
+
+    from ummon_spark.pipeline import materialize_bucketed
+
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=True)
+    materialize_bucketed(g, "ummon_bucket_bfs", str(tmp_path / "bfs"), n_buckets=4)
+    nodes = spark.table("ummon_bucket_bfs.nodes")
+    edges = spark.table("ummon_bucket_bfs.edges")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = edges.filter(
+            F.col("pred").isin("defines", "calls", "imports")
+        ).select("subj", "obj")
+
+        # round 1: both sides bucket-co-located -> zero exchanges
+        roots = nodes.filter(F.col("entity_type") == "Module").select(
+            F.col("id").alias("root")
+        )
+        j1 = roots.join(e, F.col("root") == e.subj).select(
+            "root", F.col("obj").alias("dst")
+        )
+        plan1 = _plan(j1)
+        assert "Exchange" not in plan1
+        assert plan1.count("Bucketed: true") == 2
+
+        # round k: only the (small) frontier exchanges, keyed by dst,
+        # into the edge table's bucket partitioning
+        frontier = spark.createDataFrame(
+            [("r", "media::img_the")], "root string, dst string"
+        )
+        j2 = frontier.join(e, frontier.dst == e.subj).select(
+            "root", F.col("obj").alias("dst2")
+        )
+        plan2 = _plan(j2)
+        assert plan2.count("Exchange") == 1
+        assert "hashpartitioning(dst" in plan2
+        assert "Bucketed: true" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ummon_bucket_bfs.nodes")
+        spark.sql("DROP TABLE IF EXISTS ummon_bucket_bfs.edges")
