@@ -748,3 +748,61 @@ def test_curate_scrub_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert "<URL>" in texts[1] and "https://" not in texts[1]
     assert rep.counts["input"] == 2
+
+
+def test_contamination_and_decontaminate(spark):
+    """Planted overlap: doc 3 embeds an 8-gram of benchmark doc 1;
+    doc 4 shares nothing. contamination reports only hit docs (and the
+    benchmark self-hit), decontaminate drops exactly the hit docs."""
+    from ummon_spark.datapipe.decontam import contamination, decontaminate
+
+    bench_text = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [
+        (1, bench_text),                      # the benchmark doc itself
+        (3, "pad " + " ".join(f"b{i}" for i in range(8)) + " tail"),
+        (4, "clean words only none shared here at all ok fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(1, bench_text)], "doc_id long, text string")
+    hits = {r["doc_id"]: r for r in contamination(docs, bench).collect()}
+    assert set(hits) == {"1", "3"}
+    assert hits["3"]["n_hit_grams"] == 1 and hits["3"]["n_bench_docs"] == 1
+    assert hits["1"]["n_hit_grams"] == 3  # 10 tokens -> 3 distinct 8-grams
+    survivors = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert survivors == {4}
+
+
+def test_line_stats_planted_features(spark):
+    from ummon_spark.datapipe.textstats import line_stats
+
+    text = 'First line ends well.\n- bullet one\n* b\nok\n\nLast "quoted"'
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = line_stats(df).collect()[0]
+    assert row["n_lines"] == 6
+    # "* b" (2), "ok" (1), "" (0), 'Last "quoted"' (2) are short;
+    # "- bullet one" (3 words) is not
+    assert row["n_short_lines"] == 4
+    assert row["n_bullet_lines"] == 2
+    assert row["n_punct_lines"] == 2  # ".", and the trailing quote
+    # words split on ' ' ONLY (newlines stay inside tokens, matching
+    # the oracle): First|line|ends|well.\n-|bullet|one\n*|b\nok\n\nLast|"quoted"
+    assert row["n_words"] == 8
+    assert row["n_alpha_words"] == 8
+
+
+def test_top_ngrams_counts_and_rank(spark):
+    from ummon_spark.datapipe.textstats import top_ngrams
+
+    rows = [
+        (1, "a b c a b c"),   # "a b c" x2, "b c a", "c a b"
+        (2, "a b c d"),       # "a b c", "b c d"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: r for r in top_ngrams(df, n=3, k=10).collect()}
+    assert out["a b c"]["total_count"] == 3
+    assert out["a b c"]["n_docs"] == 2
+    assert out["a b c"]["rank"] == 1
+    # ties (count 1) break on gram ascending
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    ties = [r["gram"] for r in ranked if r["total_count"] == 1]
+    assert ties == sorted(ties)

@@ -15,9 +15,11 @@ import __spark_entry__ as entrymod
 from ummon_spark.gate_registry import (
     DRIVER_WINDOW,
     FAMILIES,
+    STAGED,
     TAIL,
     counts,
     coverage_table,
+    staged_table,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,12 +29,18 @@ def test_window_composition():
     names = list(entrymod.queries())
     # every registry entry has a family assignment and vice versa
     assert set(FAMILIES) == set(names)
-    # the tail is exactly TAIL, in TAIL order, entirely past the cap
-    assert len(names) - len(TAIL) == DRIVER_WINDOW
-    assert names[DRIVER_WINDOW:] == list(TAIL)
+    # past the cap: STAGED first (new r5 gates awaiting rotation), then
+    # the TAIL in TAIL order
+    assert len(names) - len(TAIL) - len(STAGED) == DRIVER_WINDOW
+    assert names[DRIVER_WINDOW:] == list(STAGED) + list(TAIL)
     window = set(names[:DRIVER_WINDOW])
-    # every operator family keeps at least one driver-verified member
-    assert {FAMILIES[n] for n in names} == {FAMILIES[n] for n in window}
+    # every operator family keeps at least one driver-verified member —
+    # except families whose only members are r5-staged gates (they get
+    # their window slot in the round-6 rotation)
+    staged_only = {FAMILIES[n] for n in STAGED} - {FAMILIES[n] for n in window}
+    assert {FAMILIES[n] for n in names} - staged_only == {
+        FAMILIES[n] for n in window
+    }
     # every tail gate's subsumers sit inside the window
     for name, (subsumers, rationale) in TAIL.items():
         assert name not in window
@@ -52,7 +60,7 @@ def test_coverage_doc_in_sync():
     the doc and the datastructure cannot drift apart."""
     with open(os.path.join(REPO, "COVERAGE.md")) as f:
         text = f.read()
-    for line in coverage_table():
+    for line in coverage_table() + staged_table():
         assert line in text, f"COVERAGE.md missing registry line: {line}"
 
 
@@ -70,12 +78,15 @@ def test_doc_counts_in_sync():
     coverage = read("COVERAGE.md")
     assert f"All {c['total']} gate pairs" in coverage
     assert f"({c['tail']} tail)" in coverage
+    assert f"{c['staged']} staged" in coverage
     claude = read("CLAUDE.md")
     assert f"first {c['window']} of {c['total']} entries" in claude
     assert f"{c['tail']} two-round-green" in claude
+    assert f"{c['staged']} r5-staged" in claude
     baseline = read("BASELINE.md")
     assert f"{c['total']}/{c['total']} gate queries" in baseline
     assert f"{c['tail']} tail" in baseline
+    assert f"{c['staged']} staged" in baseline
 
 
 def test_spanify_subsumption(spark):

@@ -331,6 +331,78 @@ def repetition_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def line_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc line-level quality features — the C4/Gopher line rules
+    (keep lines ending in terminal punctuation, drop bullet-heavy and
+    fragment-heavy pages): line count, short lines (< 3 words), bullet
+    lines ('-'/'*' prefix), lines with terminal punctuation, plus the
+    word-level alpha ratio as an integer (num, den) pair. All per-row
+    array expressions (whole-stage codegen, no shuffle); integer-only
+    so the oracle comparison is float-free."""
+    lines = F.split(F.col("text"), "\n")
+    n_words_in = lambda l: F.size(F.filter(F.split(l, " "), lambda t: t != ""))
+    count_where = lambda pred: F.size(F.filter(lines, pred)).cast("bigint")
+    words = F.filter(_tokens(), lambda t: t != "")
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        count_where(lambda l: n_words_in(l) < 3).alias("n_short_lines"),
+        count_where(
+            lambda l: l.startswith("- ") | l.startswith("* ")
+        ).alias("n_bullet_lines"),
+        count_where(lambda l: l.rlike('[.!?"]$')).alias("n_punct_lines"),
+        F.size(F.filter(words, lambda t: t.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        F.size(words).cast("bigint").alias("n_words"),
+    )
+
+
+TOP_NGRAMS_N = 3
+TOP_NGRAMS_K = 20
+
+
+def top_ngrams(
+    documents: DataFrame, n: int = TOP_NGRAMS_N, k: int = TOP_NGRAMS_K
+) -> DataFrame:
+    """(gram, total_count, n_docs, rank): the corpus-wide top-k word
+    n-grams — the heavy-hitter report a curation pipeline uses to spot
+    boilerplate (the same grams on millions of pages) before dedup.
+
+    Scale shape: grams are derived per-row (array ops), then ONE hash
+    aggregate keyed by gram computes both the total and the distinct
+    doc count — count(distinct) over (gram, doc_id) pre-pairs, so the
+    agg is two-phase with map-side partials, never a row-level shuffle
+    of raw grams per doc occurrence. The global top-k is orderBy+limit
+    (TakeOrdered: per-partition heaps, no full sort). Ties break on the
+    gram string ascending."""
+    toks = _tokens()
+    n_grams = F.size(toks) - n + 1
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(grams).alias("gram"),
+    )
+    agg = exploded.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("total_count"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("total_count").desc(), F.col("gram").asc())
+    return (
+        agg.orderBy(F.col("total_count").desc(), F.col("gram").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def scrub_documents(documents: DataFrame) -> DataFrame:
     """Same schema as the input with `text` replaced by its scrubbed
     form — the in-place variant curation chains use (scrub_text is the

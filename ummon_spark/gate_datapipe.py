@@ -270,6 +270,76 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+# Decontamination gate: benchmark = the first N_BENCH corpus docs (so
+# those docs self-hit, pinning gram formation); planted "cont::{id}"
+# rows embed the first DECONTAM_K tokens of a benchmark doc inside
+# fresh padding — the partial-containment case the operator exists for.
+N_BENCH = 20
+N_PLANTED_CONT = 5
+
+
+def q_decontam(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.decontam import DECONTAM_K, contamination
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = docs.filter(
+        F.col("doc_id").cast("bigint") < N_PLANTED_CONT
+    ).select(
+        F.concat(F.lit("cont::"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("x0 x1 x2 "),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " "), 1, DECONTAM_K)
+            ),
+            F.lit(" y0 y1"),
+        ).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id").cast("bigint") < N_BENCH)
+    return contamination(docs.unionByName(planted), bench)
+
+
+# The corpus text is single-line, so line-level features would be
+# vacuous unplanted; "lines::{id}" rows carry bullets, fragments and
+# terminal punctuation (same planting pattern as the scrub gate).
+N_PLANTED_LINES = 5
+
+
+def _lines_planted(docs):
+    from pyspark.sql import functions as F
+
+    return docs.filter(
+        F.col("doc_id").cast("bigint") < N_PLANTED_LINES
+    ).select(
+        F.concat(F.lit("lines::"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("Doc "),
+            F.col("doc_id"),
+            F.lit(" begins here.\n- bullet alpha\n* bullet beta\nfragment\n\nIt ends now!"),
+        ).alias("text"),
+    )
+
+
+def q_line_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.textstats import line_stats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return line_stats(docs.unionByName(_lines_planted(docs)))
+
+
+def q_top_ngrams(spark, sf_dir):
+    from .datapipe.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -296,6 +366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_ngram_jaccard": q_ngram_jaccard,
     "dp_scrub": q_scrub,
     "dp_repetition": q_repetition,
+    "dp_decontam": q_decontam,
+    "dp_line_stats": q_line_stats,
+    "dp_top_ngrams": q_top_ngrams,
 }
 
 
@@ -507,6 +580,83 @@ srows AS (
 )
 SELECT doc_id, {repl} AS scrubbed, CAST({counts} AS BIGINT) AS n_scrubbed
 FROM srows"""
+
+
+def _decontam_oracle() -> str:
+    """DuckDB twin of decontam.contamination over corpus + planted
+    contaminated rows vs the first-N_BENCH-docs benchmark: the same
+    md5-derived k-gram hash (datapipe.hashing), distinct per doc,
+    inner-joined and aggregated per corpus doc."""
+    from .datapipe.decontam import DECONTAM_K as K
+
+    gram = f"array_to_string(list_slice(t, i, i + {K - 1}), ' ')"
+    g = token_hash_sql(gram, 0)
+    grams_from = (
+        "SELECT DISTINCT doc_id, {g} AS g\n"
+        "  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src}) x,\n"
+        f"       LATERAL unnest(generate_series(1, greatest(len(t) - {K - 1}, 0))) AS u(i)"
+    )
+    return f"""WITH cbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+corpus AS (
+  SELECT * FROM cbase
+  UNION ALL
+  SELECT concat('cont::', doc_id),
+         concat('x0 x1 x2 ',
+                array_to_string(list_slice(string_split(text, ' '), 1, {K}), ' '),
+                ' y0 y1')
+  FROM cbase WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_CONT}
+),
+bench AS (
+  SELECT * FROM cbase WHERE CAST(doc_id AS BIGINT) < {N_BENCH}
+),
+cg AS (
+  {grams_from.format(g=g, src="corpus")}
+),
+bg AS (
+  SELECT doc_id AS bench_id, g FROM (
+  {grams_from.format(g=g, src="bench")}
+  )
+)
+SELECT cg.doc_id,
+       CAST(COUNT(DISTINCT cg.g) AS BIGINT) AS n_hit_grams,
+       CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+FROM cg JOIN bg ON bg.g = cg.g
+GROUP BY cg.doc_id"""
+
+
+def _line_stats_oracle() -> str:
+    """DuckDB twin of textstats.line_stats over corpus + planted
+    multi-line rows. Lines split on chr(10); words are the whitespace
+    tokens of the WHOLE text (newlines stay inside tokens — both
+    engines split the same way)."""
+    wordsof = "list_filter(string_split({x}, ' '), t -> t <> '')"
+    return f"""WITH lbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+lrows AS (
+  SELECT * FROM lbase
+  UNION ALL
+  SELECT concat('lines::', doc_id),
+         concat('Doc ', doc_id, ' begins here.', chr(10),
+                '- bullet alpha', chr(10), '* bullet beta', chr(10),
+                'fragment', chr(10), chr(10), 'It ends now!')
+  FROM lbase WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_LINES}
+),
+feat AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         {wordsof.format(x="text")} AS words
+  FROM lrows
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines, l -> len({wordsof.format(x="l")}) < 3)) AS BIGINT) AS n_short_lines,
+       CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet_lines,
+       CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS BIGINT) AS n_punct_lines,
+       CAST(len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       CAST(len(words) AS BIGINT) AS n_words
+FROM feat"""
 
 
 ORACLES: dict[str, str] = {
@@ -769,4 +919,22 @@ SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
        CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
        CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS dup_ngrams
 FROM grams""",
+    "dp_decontam": _decontam_oracle(),
+    "dp_line_stats": _line_stats_oracle(),
+    "dp_top_ngrams": """WITH ntoks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
+  FROM documents
+),
+ngrams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+  FROM ntoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+nagg AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS total_count,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM ngrams GROUP BY gram
+)
+SELECT gram, total_count, n_docs,
+       CAST(row_number() OVER (ORDER BY total_count DESC, gram ASC) AS BIGINT) AS rank
+FROM nagg ORDER BY total_count DESC, gram ASC LIMIT 20""",
 }

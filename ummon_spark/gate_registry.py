@@ -102,6 +102,26 @@ FAMILIES: dict[str, str] = {
     # round-5 in-window additions (VERDICT r4 next-round #1 and #8)
     "kg_incremental_parity": "incremental",
     "kg_media_hotkeys": "skew",
+    # round-5 STAGED additions (see STAGED below)
+    "dp_decontam": "decontam",
+    "dp_line_stats": "line-quality",
+    "dp_top_ngrams": "heavy-hitters",
+}
+
+# Brand-new round-5 operators, parked PAST the cap for one round:
+# VERDICT r4 next-round #7 freezes further window rotation until
+# dp_scrub/dp_repetition earn their second green driver round (end of
+# round 5), so these can't displace anything yet. They still run full
+# DuckDB oracle parity in local CI (test_gate_parity covers every
+# entry) and are judge-replayable; they rotate IN-window in round 6,
+# displacing tail-eligible veterans per the standard policy.
+STAGED: dict[str, str] = {
+    "dp_decontam": "benchmark k-gram decontamination: broadcast bench "
+    "gram set, corpus never shuffled by gram",
+    "dp_line_stats": "C4/Gopher line-level quality features, planted "
+    "multi-line rows (corpus text is single-line)",
+    "dp_top_ngrams": "corpus-wide heavy-hitter n-grams: one two-phase "
+    "agg + TakeOrdered top-k",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
@@ -201,16 +221,20 @@ def counts() -> dict[str, int]:
     (test_gate_registry asserts the prose stays in sync)."""
     return {
         "total": len(FAMILIES),
-        "window": len(FAMILIES) - len(TAIL),
+        "window": len(FAMILIES) - len(TAIL) - len(STAGED),
         "tail": len(TAIL),
+        "staged": len(STAGED),
     }
 
 
 def ordered(merged: dict) -> dict:
-    """Window entries in registry order, then the TAIL in TAIL order."""
-    head = {k: v for k, v in merged.items() if k not in TAIL}
+    """Window entries in registry order, then STAGED, then the TAIL in
+    TAIL order — everything past position DRIVER_WINDOW is past-cap."""
+    past_cap = set(TAIL) | set(STAGED)
+    head = {k: v for k, v in merged.items() if k not in past_cap}
+    staged = {k: merged[k] for k in STAGED if k in merged}
     tail = {k: merged[k] for k in TAIL if k in merged}
-    return {**head, **tail}
+    return {**head, **staged, **tail}
 
 
 def coverage_table() -> list[str]:
@@ -224,4 +248,16 @@ def coverage_table() -> list[str]:
         lines.append(
             f"| {name} | {FAMILIES[name]} | {', '.join(subs)} | {why} |"
         )
+    return lines
+
+
+def staged_table() -> list[str]:
+    """Markdown lines for the round-5 staged gates (kept verbatim in
+    COVERAGE.md alongside the tail table)."""
+    lines = [
+        "| staged gate (new r5, past-cap pending r6 rotation) | family | scale shape |",
+        "|---|---|---|",
+    ]
+    for name, why in STAGED.items():
+        lines.append(f"| {name} | {FAMILIES[name]} | {why} |")
     return lines
