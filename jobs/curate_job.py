@@ -40,6 +40,11 @@ def main() -> None:
         "linear star candidates (only needed when the complete pair "
         "list itself is the product; keep-first dedupe does not)",
     )
+    ap.add_argument(
+        "--benchmark",
+        help="parquet of the held-out eval set (doc_id, text); corpus "
+        "docs sharing a k-gram with it are dropped after near-dedup",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("ummon_spark_curate").getOrCreate()
@@ -58,12 +63,15 @@ def main() -> None:
         star_candidates=not args.pair_candidates,
     )
     docs = spark.read.parquet(f"{args.input}/documents.parquet").persist()
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     if args.checkpoints:
         kept, report = curate_checkpointed(
-            spark, docs, args.checkpoints, cfg, input_signature=args.input
+            spark, docs, args.checkpoints, cfg,
+            input_signature=f"{args.input}|bench:{args.benchmark}",
+            benchmark=bench,
         )
     else:
-        kept, report = curate(docs, cfg)
+        kept, report = curate(docs, cfg, benchmark=bench)
     kept.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"stages": report.counts}))
 

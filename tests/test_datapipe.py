@@ -806,3 +806,34 @@ def test_top_ngrams_counts_and_rank(spark):
     ranked = sorted(out.values(), key=lambda r: r["rank"])
     ties = [r["gram"] for r in ranked if r["total_count"] == 1]
     assert ties == sorted(ties)
+
+
+def test_curate_decontam_stage(spark, tmp_path):
+    """The optional benchmark-decontamination stage drops contaminated
+    docs in both the plain and the checkpointed chain, and the stage
+    counter lands in the report."""
+    from ummon_spark.datapipe.curate import (
+        CurationConfig,
+        curate,
+        curate_checkpointed,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(8)))
+            for i in range(6)]
+    rows.append((90, "lead " + " ".join(f"b{i}" for i in range(8)) + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    cfg = CurationConfig(min_tokens=2)
+
+    kept, report = curate(docs, cfg, benchmark=bench)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 90 not in kept_ids and len(kept_ids) == 6
+    assert report.counts["decontam"] == 6
+    assert report.counts["near_dedupe"] == 7
+
+    kept_cp, report_cp = curate_checkpointed(
+        spark, docs, str(tmp_path / "cp"), cfg, benchmark=bench
+    )
+    assert {r["doc_id"] for r in kept_cp.collect()} == kept_ids
+    assert report_cp.counts["decontam"] == 6

@@ -117,9 +117,16 @@ def near_dedupe(documents: DataFrame, cfg: CurationConfig) -> DataFrame:
 
 
 def curate(
-    documents: DataFrame, cfg: CurationConfig | None = None
+    documents: DataFrame,
+    cfg: CurationConfig | None = None,
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation chain; returns (kept documents, report).
+
+    ``benchmark``: optional held-out eval set (doc_id, text); when
+    given, documents sharing a k-gram with it are dropped AFTER
+    near-dedup (decontam.decontaminate — the bench gram set broadcasts,
+    the corpus is never shuffled by gram).
 
     Counting each stage materializes it — at production scale, persist
     `documents` first and expect one action per stage (the counters are
@@ -141,6 +148,12 @@ def curate(
     staged = near_dedupe(staged, cfg)
     report.counts["near_dedupe"] = staged.count()
 
+    if benchmark is not None:
+        from .decontam import decontaminate
+
+        staged = decontaminate(staged, benchmark)
+        report.counts["decontam"] = staged.count()
+
     sample = stratified_sample(staged, cfg.n_per_stratum)
     kept = staged.join(
         sample.select(F.col("doc_id").alias("_s")),
@@ -158,6 +171,7 @@ def curate_checkpointed(
     cfg: CurationConfig | None = None,
     input_signature: str = "",
     run_id: str = "curate",
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """The curation chain as resumable checkpointed stages.
 
@@ -178,11 +192,13 @@ def curate_checkpointed(
     from ..checkpoint import CheckpointManager
 
     cfg = cfg or CurationConfig()
+    # the benchmark's CONTENT is not hashed into the signature — when
+    # the eval set changes, put its version/snapshot in input_signature
     cfg_sig = (
         f"{input_signature}|cfg:{cfg.min_tokens},{cfg.max_token_len},"
         f"{cfg.min_stopword_hits_per_100},{cfg.jaccard_num},"
         f"{cfg.jaccard_den},{cfg.n_per_stratum},star={cfg.star_candidates},"
-        f"scrub={cfg.scrub}"
+        f"scrub={cfg.scrub},decontam={benchmark is not None}"
     )
     cp = CheckpointManager(spark, base_dir, run_id)
     if cfg.scrub:
@@ -197,6 +213,17 @@ def curate_checkpointed(
     n = cp.stage(
         "near_dedupe", lambda: near_dedupe(e, cfg), ("exact_dedupe",), cfg_sig
     )
+    cap_dep = "near_dedupe"
+    if benchmark is not None:
+        from .decontam import decontaminate
+
+        n = cp.stage(
+            "decontam",
+            lambda: decontaminate(n, benchmark),
+            ("near_dedupe",),
+            cfg_sig,
+        )
+        cap_dep = "decontam"
 
     def _cap() -> DataFrame:
         sample = stratified_sample(n, cfg.n_per_stratum)
@@ -206,7 +233,7 @@ def curate_checkpointed(
             "left_semi",
         )
 
-    kept = cp.stage("stratified_cap", _cap, ("near_dedupe",), cfg_sig)
+    kept = cp.stage("stratified_cap", _cap, (cap_dep,), cfg_sig)
     report = CurationReport(
         counts={name: res.row_count for name, res in cp.results.items()}
     )
