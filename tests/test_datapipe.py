@@ -837,3 +837,34 @@ def test_curate_decontam_stage(spark, tmp_path):
     )
     assert {r["doc_id"] for r in kept_cp.collect()} == kept_ids
     assert report_cp.counts["decontam"] == 6
+
+
+def test_kmeans_semantic_clusters_and_dupes(spark):
+    """Two well-separated direction groups end up in different
+    clusters; identical vectors co-cluster; semantic_near_dups finds
+    exactly the planted identical pair (cross-group pairs fail either
+    the cluster gate or the cosine threshold)."""
+    from ummon_spark.datapipe.similarity import (
+        kmeans_clusters,
+        semantic_near_dups,
+    )
+
+    d = 8
+    ax = [1.0, 0.9, 1.0, 0.95] + [0.0] * (d - 4)
+    ay = [0.0] * (d - 4) + [1.0, 0.9, 1.0, 0.95]
+    rows = [
+        (0, ax),
+        (1, ay),
+        (2, [v * 0.9 for v in ax]),
+        (3, [v * 1.1 for v in ay]),
+        (4, ax),  # identical to 0
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_clusters(embs, k=2).collect()}
+    assert out[0] == out[2] == out[4]
+    assert out[1] == out[3]
+    assert out[0] != out[1]
+
+    pairs = {(r["a"], r["b"]) for r in semantic_near_dups(embs, 990, k=2).collect()}
+    assert (0, 4) in pairs
+    assert all(out[a] == out[b] for a, b in pairs)

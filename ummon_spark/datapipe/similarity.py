@@ -340,6 +340,104 @@ def ivf_topk_cosine(
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q, cluster, cdot): nearest centroid by quantized dot
+    (spherical k-means assignment), ties to the smaller cluster id.
+    The centroid table is k rows — always broadcast."""
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cid", _dot(F.col("q"), F.col("cq")).alias("cdot")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("q", "cid", "cdot"), F.struct(F.col("cdot"), -F.col("cid"))
+        ).alias("_b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("_b.q").alias("q"),
+        F.col("_b.cid").alias("cluster"),
+        F.col("_b.cdot").alias("cdot"),
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """(vec_id, cluster, cdot): spherical k-means over quantized
+    embeddings — Lloyd iterations with INTEGER arithmetic only, so the
+    result is bit-identical across engines and runs:
+
+    * init: centroids = quantized vectors of the k smallest vec_ids
+      (deterministic, SQL-expressible — same seeding rule as IVF)
+    * assignment: argmax quantized dot (ties -> smaller cluster id)
+    * update: element-wise integer mean, SUM(val) DIV COUNT(*) per
+      dimension (truncation toward zero — DuckDB's integer `//`
+      matches Spark's DIV exactly, floor division would not)
+
+    Scale shape: each iteration is ONE narrow assignment pass (k-row
+    centroid table broadcast, map-side) plus ONE aggregation keyed by
+    (cluster, dim) — the posexplode widens rows 64x but partial
+    (map-side) aggregation reduces the shuffle to k * dim * partitions
+    rows. iters is a small constant (SemDeDup-style curation needs
+    stable clusters, not convergence). At 10^9+ vectors pick
+    k ~ n/1024 so downstream within-cluster scans stay bounded."""
+    q = quantized(embeddings)
+    if iters > 0:
+        q = q.persist()
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(q, cents)
+        per_dim = assigned.select(
+            "cluster", F.posexplode("q").alias("dim", "val")
+        ).groupBy("cluster", "dim").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        cents = (
+            per_dim.select(
+                "cluster", "dim", F.expr("s DIV n").cast("bigint").alias("v")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                    lambda s: s["v"],
+                ).alias("cq")
+            )
+            .select(F.col("cluster").alias("cid"), "cq")
+        )
+    return _kmeans_assign(q, cents).select("vec_id", "cluster", "cdot")
+
+
+def semantic_near_dups(
+    embeddings: DataFrame,
+    threshold_milli: int = 950,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(a, b, dot, na2, nb2): SemDeDup-shaped semantic dedup —
+    candidate pairs come from the SAME k-means cluster, then pass the
+    exact quantized-cosine threshold. Complements the hyperplane-LSH
+    near-dup path: clusters follow the data distribution (a dense
+    semantic region becomes its own candidate pool) where fixed random
+    hyperplanes cut it arbitrarily.
+
+    Scale shape: the pair join is keyed by cluster id — with
+    k ~ n/1024 each cluster's all-pairs stays ~10^6 comparisons, and
+    the verify is the shared integer-exact kernel. Survivor selection
+    (keep-first) plugs into dedup.dedup_survivors unchanged."""
+    assigned = kmeans_clusters(embeddings, k, iters)
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("cluster"))
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("cluster"))
+    pairs = a.join(b, "cluster").filter(F.col("a") < F.col("b")).select("a", "b")
+    return _verify_cosine_pairs(pairs, quantized(embeddings), threshold_milli)
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold_milli: int = 950,

@@ -340,6 +340,18 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir))
 
 
+def q_semantic_clusters(spark, sf_dir):
+    from .datapipe.similarity import kmeans_clusters
+
+    return kmeans_clusters(_embs(spark, sf_dir))
+
+
+def q_semantic_dupes(spark, sf_dir):
+    from .datapipe.similarity import semantic_near_dups
+
+    return semantic_near_dups(_embs_planted(spark, sf_dir), COS_THRESH_MILLI)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -369,6 +381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_decontam": q_decontam,
     "dp_line_stats": q_line_stats,
     "dp_top_ngrams": q_top_ngrams,
+    "dp_semantic_clusters": q_semantic_clusters,
+    "dp_semantic_dupes": q_semantic_dupes,
 }
 
 
@@ -580,6 +594,72 @@ srows AS (
 )
 SELECT doc_id, {repl} AS scrubbed, CAST({counts} AS BIGINT) AS n_scrubbed
 FROM srows"""
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Chained-CTE unrolling of similarity.kmeans_clusters (DuckDB twin):
+    cents0 -> a0 -> c1 -> a1 -> ... -> af. Assignment = argmax quantized
+    dot (row_number ties to smaller cid); centroid update = per-dim
+    integer mean CAST(SUM AS BIGINT) // COUNT (truncation toward zero,
+    matching Spark's DIV). Appends after a CTE providing qv(vec_id, q)."""
+    dot = _dot_sql("v.q", "c.cq")
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, q, cid AS cluster, cdot FROM (
+    SELECT v.vec_id, v.q, c.cid, {dot} AS cdot,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {dot} DESC, c.cid) AS rn
+    FROM qv v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster AS cid, list(v ORDER BY dim) AS cq FROM (
+    SELECT cluster, i AS dim,
+           CAST(CAST(SUM(q[i]) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+    FROM {prev}, LATERAL unnest(generate_series(1, {EMB_DIM})) AS d(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+
+    parts = [f"cents0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < {k})"]
+    cents = "cents0"
+    for it in range(iters):
+        parts.append(assign(f"a{it}", cents))
+        cents = f"c{it + 1}"
+        parts.append(update(cents, f"a{it}"))
+    parts.append(assign("af", cents))
+    return ",\n".join(parts)
+
+
+def _semantic_clusters_oracle() -> str:
+    from .datapipe.similarity import KMEANS_ITERS, KMEANS_K
+
+    return f"""WITH {_Q_CTE},
+{_kmeans_cte(KMEANS_K, KMEANS_ITERS)}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cdot FROM af"""
+
+
+def _semantic_dupes_oracle() -> str:
+    from .datapipe.similarity import KMEANS_ITERS, KMEANS_K
+
+    return f"""WITH {_Q_CTE_PLANTED},
+{_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+spairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM af x JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+)
+SELECT a, b, dot, na2, nb2 FROM (
+  SELECT p.a, p.b,
+         {_dot_sql('x.q', 'y.q')} AS dot,
+         {_dot_sql('x.q', 'x.q')} AS na2,
+         {_dot_sql('y.q', 'y.q')} AS nb2
+  FROM spairs p JOIN qv x ON x.vec_id = p.a JOIN qv y ON y.vec_id = p.b
+)
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {_T2} * (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))"""
 
 
 def _decontam_oracle() -> str:
@@ -921,6 +1001,8 @@ SELECT doc_id, CAST(len(g) AS BIGINT) AS n_ngrams,
 FROM grams""",
     "dp_decontam": _decontam_oracle(),
     "dp_line_stats": _line_stats_oracle(),
+    "dp_semantic_clusters": _semantic_clusters_oracle(),
+    "dp_semantic_dupes": _semantic_dupes_oracle(),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -106,6 +106,8 @@ FAMILIES: dict[str, str] = {
     "dp_decontam": "decontam",
     "dp_line_stats": "line-quality",
     "dp_top_ngrams": "heavy-hitters",
+    "dp_semantic_clusters": "semantic-cluster",
+    "dp_semantic_dupes": "semantic-cluster",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -122,6 +124,12 @@ STAGED: dict[str, str] = {
     "multi-line rows (corpus text is single-line)",
     "dp_top_ngrams": "corpus-wide heavy-hitter n-grams: one two-phase "
     "agg + TakeOrdered top-k",
+    "dp_semantic_clusters": "spherical k-means, integer-exact: per "
+    "iteration one broadcast assignment pass + one (cluster, dim) agg "
+    "with map-side partials",
+    "dp_semantic_dupes": "SemDeDup-shaped dedup: same-cluster pairs "
+    "only (k ~ n/1024 bounds cluster occupancy), integer-exact cosine "
+    "verify",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
