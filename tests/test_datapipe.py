@@ -868,3 +868,28 @@ def test_kmeans_semantic_clusters_and_dupes(spark):
     pairs = {(r["a"], r["b"]) for r in semantic_near_dups(embs, 990, k=2).collect()}
     assert (0, 4) in pairs
     assert all(out[a] == out[b] for a, b in pairs)
+
+
+def test_clean_lines_c4_rule(spark):
+    from ummon_spark.datapipe.textstats import clean_lines
+
+    text = (
+        "A good sentence stays here.\n"
+        "- bullet with punctuation.\n"
+        "too short.\n"
+        "no terminal punctuation at all\n"
+        'She said "stop".\n'
+        "Ends with a question?"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = clean_lines(df).collect()[0]
+    assert row["text"] == (
+        'A good sentence stays here.\nShe said "stop".\nEnds with a question?'
+    )
+    assert row["n_kept_lines"] == 3
+    assert row["n_dropped_lines"] == 3
+    # single-line doc with no terminal punctuation -> empty text, not null
+    row2 = clean_lines(
+        spark.createDataFrame([(2, "just words")], "doc_id long, text string")
+    ).collect()[0]
+    assert row2["text"] == "" and row2["n_kept_lines"] == 0

@@ -358,6 +358,33 @@ def line_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+CLEAN_MIN_WORDS = 3
+
+
+def clean_lines(documents: DataFrame, min_words: int = CLEAN_MIN_WORDS) -> DataFrame:
+    """(doc_id, text, n_kept_lines, n_dropped_lines): the C4 line
+    transformation itself (line_stats is the feature extractor): keep
+    only lines with >= min_words words that end in terminal
+    punctuation ([.!?"]) and are not bullets; `text` becomes the
+    newline-joined kept lines. Pure per-row array expressions —
+    whole-stage codegen, no shuffle, no Python."""
+    lines = F.split(F.col("text"), "\n")
+    n_words_in = lambda l: F.size(F.filter(F.split(l, " "), lambda t: t != ""))
+    keep = lambda l: (
+        (n_words_in(l) >= min_words)
+        & l.rlike('[.!?"]$')
+        & ~l.startswith("- ")
+        & ~l.startswith("* ")
+    )
+    kept = F.filter(lines, keep)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws("\n", kept).alias("text"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped_lines"),
+    )
+
+
 TOP_NGRAMS_N = 3
 TOP_NGRAMS_K = 20
 

@@ -334,6 +334,17 @@ def q_line_stats(spark, sf_dir):
     return line_stats(docs.unionByName(_lines_planted(docs)))
 
 
+def q_clean_lines(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.textstats import clean_lines
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return clean_lines(docs.unionByName(_lines_planted(docs)))
+
+
 def q_top_ngrams(spark, sf_dir):
     from .datapipe.textstats import top_ngrams
 
@@ -383,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_top_ngrams": q_top_ngrams,
     "dp_semantic_clusters": q_semantic_clusters,
     "dp_semantic_dupes": q_semantic_dupes,
+    "dp_clean_lines": q_clean_lines,
 }
 
 
@@ -739,6 +751,40 @@ SELECT doc_id,
 FROM feat"""
 
 
+def _clean_lines_oracle() -> str:
+    """DuckDB twin of textstats.clean_lines over corpus + planted
+    multi-line rows (same planting as dp_line_stats)."""
+    from .datapipe.textstats import CLEAN_MIN_WORDS as MW
+
+    keep = (
+        f"len(list_filter(string_split(l, ' '), t -> t <> '')) >= {MW} "
+        "AND regexp_matches(l, '[.!?\"]$') "
+        "AND NOT l LIKE '- %' AND NOT l LIKE '* %'"
+    )
+    return f"""WITH lbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+lrows AS (
+  SELECT * FROM lbase
+  UNION ALL
+  SELECT concat('lines::', doc_id),
+         concat('Doc ', doc_id, ' begins here.', chr(10),
+                '- bullet alpha', chr(10), '* bullet beta', chr(10),
+                'fragment', chr(10), chr(10), 'It ends now!')
+  FROM lbase WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_LINES}
+),
+feat AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)), l -> {keep}) AS kept
+  FROM lrows
+)
+SELECT doc_id,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped_lines
+FROM feat"""
+
+
 ORACLES: dict[str, str] = {
     "dp_doc_hashes": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents",
     "dp_exact_dupes": f"""SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
@@ -1003,6 +1049,7 @@ FROM grams""",
     "dp_line_stats": _line_stats_oracle(),
     "dp_semantic_clusters": _semantic_clusters_oracle(),
     "dp_semantic_dupes": _semantic_dupes_oracle(),
+    "dp_clean_lines": _clean_lines_oracle(),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -108,6 +108,7 @@ FAMILIES: dict[str, str] = {
     "dp_top_ngrams": "heavy-hitters",
     "dp_semantic_clusters": "semantic-cluster",
     "dp_semantic_dupes": "semantic-cluster",
+    "dp_clean_lines": "line-quality",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -130,6 +131,9 @@ STAGED: dict[str, str] = {
     "dp_semantic_dupes": "SemDeDup-shaped dedup: same-cluster pairs "
     "only (k ~ n/1024 bounds cluster occupancy), integer-exact cosine "
     "verify",
+    "dp_clean_lines": "the C4 line transformation itself (keep "
+    "terminal-punctuated >=3-word non-bullet lines): per-row array "
+    "ops, no shuffle",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
