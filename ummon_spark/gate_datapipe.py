@@ -351,6 +351,45 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir))
 
 
+# Cross-corpus dedup gate: the "batch" is derived from the corpus —
+# 5 exact copies (new::), 5 one-extra-token near-dups (mod::), and 5
+# fresh docs with batch-only tokens (fresh:: — must survive). The
+# oracle plants identically.
+N_PLANTED_BATCH = 5
+
+
+def _batch_planted(docs):
+    from pyspark.sql import functions as F
+
+    base = docs.filter(F.col("doc_id").cast("bigint") < N_PLANTED_BATCH)
+    new = base.select(
+        F.concat(F.lit("new::"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    mod = base.select(
+        F.concat(F.lit("mod::"), F.col("doc_id")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9qq")).alias("text"),
+    )
+    fresh = base.select(
+        F.concat(F.lit("fresh::"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("fresh solo qq"), F.col("doc_id"),
+            F.lit(" ww"), F.col("doc_id"), F.lit(" ee"), F.col("doc_id"),
+        ).alias("text"),
+    )
+    return new.unionByName(mod).unionByName(fresh)
+
+
+def q_dedup_against(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.dedup import near_hits_against
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return near_hits_against(_batch_planted(docs), docs)
+
+
 def q_semantic_clusters(spark, sf_dir):
     from .datapipe.similarity import kmeans_clusters
 
@@ -395,6 +434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_semantic_clusters": q_semantic_clusters,
     "dp_semantic_dupes": q_semantic_dupes,
     "dp_clean_lines": q_clean_lines,
+    "dp_dedup_against": q_dedup_against,
 }
 
 
@@ -751,6 +791,65 @@ SELECT doc_id,
 FROM feat"""
 
 
+def _dedup_against_oracle() -> str:
+    """DuckDB twin of dedup.near_hits_against over the planted batch vs
+    the corpus: per-side token/signature/band CTEs built from the SAME
+    _MH_COLS/_BAND_COLS definitions, cross-side band join, cross-side
+    Jaccard verify."""
+    cand_union = "\n  UNION ALL\n".join(
+        f"  SELECT x.doc_id AS a, y.doc_id AS b FROM bbands x "
+        f"JOIN cbands y ON x.band{b} = y.band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""WITH dac AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+dab AS (
+  SELECT concat('new::', doc_id) AS doc_id, text FROM dac
+  WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_BATCH}
+  UNION ALL
+  SELECT concat('mod::', doc_id), text || ' zz9qq' FROM dac
+  WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_BATCH}
+  UNION ALL
+  SELECT concat('fresh::', doc_id),
+         concat('fresh solo qq', doc_id, ' ww', doc_id, ' ee', doc_id)
+  FROM dac WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_BATCH}
+),
+ctoks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM dac
+  ) WHERE token <> ''
+),
+btoks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM dab
+  ) WHERE token <> ''
+),
+csigs AS (SELECT doc_id, {_MH_COLS} FROM ctoks GROUP BY doc_id),
+bsigs AS (SELECT doc_id, {_MH_COLS} FROM btoks GROUP BY doc_id),
+cbands AS (SELECT doc_id, {_BAND_COLS} FROM csigs),
+bbands AS (SELECT doc_id, {_BAND_COLS} FROM bsigs),
+dacand AS (
+  SELECT DISTINCT a, b FROM (
+{cand_union}
+  )
+),
+dainter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM dacand c
+  JOIN btoks ta ON ta.doc_id = c.a
+  JOIN ctoks tb ON tb.doc_id = c.b AND tb.token = ta.token
+  GROUP BY c.a, c.b
+),
+bsz AS (SELECT doc_id, COUNT(*) AS sz FROM btoks GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM ctoks GROUP BY doc_id)
+SELECT i.a, i.b, i.inter, (sa.sz + sb.sz - i.inter) AS union_size
+FROM dainter i
+JOIN bsz sa ON sa.doc_id = i.a
+JOIN csz sb ON sb.doc_id = i.b
+WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 4"""
+
+
 def _clean_lines_oracle() -> str:
     """DuckDB twin of textstats.clean_lines over corpus + planted
     multi-line rows (same planting as dp_line_stats)."""
@@ -1050,6 +1149,7 @@ FROM grams""",
     "dp_semantic_clusters": _semantic_clusters_oracle(),
     "dp_semantic_dupes": _semantic_dupes_oracle(),
     "dp_clean_lines": _clean_lines_oracle(),
+    "dp_dedup_against": _dedup_against_oracle(),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -109,6 +109,7 @@ FAMILIES: dict[str, str] = {
     "dp_semantic_clusters": "semantic-cluster",
     "dp_semantic_dupes": "semantic-cluster",
     "dp_clean_lines": "line-quality",
+    "dp_dedup_against": "cross-dedup",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -134,6 +135,9 @@ STAGED: dict[str, str] = {
     "dp_clean_lines": "the C4 line transformation itself (keep "
     "terminal-punctuated >=3-word non-bullet lines): per-row array "
     "ops, no shuffle",
+    "dp_dedup_against": "cross-corpus (batch-vs-corpus) near-dedup: "
+    "the small batch's band keys broadcast; the corpus band index is "
+    "materialized once in production",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
