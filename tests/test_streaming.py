@@ -32,3 +32,46 @@ def test_stream_equals_batch(spark, tmp_path):
     run_mentions_ingest(spark, in_dir, out_dir, ckpt)
     again = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert again == batch
+
+
+def test_dedup_admission_stream(spark, tmp_path):
+    """Two arriving files with overlapping content: the admitted corpus
+    holds each distinct text exactly once — within-batch dupes collapse
+    to the min doc_id, cross-batch dupes are rejected against the
+    already-admitted table. Replay with no new files is a no-op."""
+    from pyspark.sql import functions as F
+
+    from ummon_spark.streaming import run_dedup_admission
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    f1 = [(1, "alpha beta gamma", "en", "s", 16),
+          (2, "alpha beta gamma", "en", "s", 16),   # within-batch dupe of 1
+          (3, "delta epsilon zeta", "en", "s", 18)]
+    f2 = [(4, "alpha beta gamma", "en", "s", 16),   # cross-batch dupe of 1
+          (5, "brand new content here", "en", "s", 22)]
+    # two separate files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(in_dir / "a"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(in_dir / "b"))
+    import glob
+    import shutil
+    for sub in ("a", "b"):
+        part = glob.glob(str(in_dir / sub / "part-*.parquet"))[0]
+        shutil.move(part, str(in_dir / f"{sub}.parquet"))
+        shutil.rmtree(str(in_dir / sub))
+
+    run_dedup_admission(spark, str(in_dir), out_dir, ckpt)
+    admitted = spark.read.parquet(out_dir)
+    rows = {r["text"]: r["doc_id"] for r in admitted.collect()}
+    assert set(rows) == {"alpha beta gamma", "delta epsilon zeta",
+                         "brand new content here"}
+    assert admitted.count() == 3  # no duplicate texts admitted
+    assert rows["alpha beta gamma"] in (1, 4)  # first-arrived batch wins
+    # each text admitted exactly once
+    assert admitted.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+
+    run_dedup_admission(spark, str(in_dir), out_dir, ckpt)  # replay no-op
+    assert spark.read.parquet(out_dir).count() == 3

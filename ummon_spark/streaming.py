@@ -108,3 +108,72 @@ def run_graph_ingest(
     if block:
         q.awaitTermination()
     return q
+
+
+def run_dedup_admission(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    near: bool = False,
+    block: bool = True,
+):
+    """Continuous dedup admission: each micro-batch of arriving
+    documents is deduped WITHIN itself (exact, keep min doc_id) and
+    then AGAINST the already-admitted corpus before appending — the
+    streaming form of the batch-vs-corpus ingestion dedup.
+
+    near=False compares admitted content hashes (exact); near=True runs
+    datapipe.dedup.dedup_against (MinHash-LSH cross-corpus near-dedup).
+    At 100 TB the admitted-corpus probe side is a materialized
+    hash/signature index, not a rescan — here it reads the output table
+    back, which is the same join shape. foreachBatch + the streaming
+    checkpoint give exactly-once batch tracking; the appended batch_id
+    column makes replays idempotent to downstream consumers (same
+    pattern as run_graph_ingest)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .datapipe.dedup import dedup_against, doc_hashes
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = batch_df.withColumn("_h", F.md5(F.col("text")))
+        w = Window.partitionBy("_h").orderBy(F.col("doc_id"))
+        batch = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(output_dir):
+            admitted = spark.read.parquet(output_dir)
+            if near:
+                batch = dedup_against(
+                    batch.drop("_h"),
+                    admitted.select("doc_id", "text"),
+                ).withColumn("_h", F.md5(F.col("text")))
+            else:
+                seen = admitted.select(F.md5(F.col("text")).alias("_h")).distinct()
+                batch = batch.join(seen, "_h", "left_anti")
+        (
+            batch.drop("_h")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
+    q = (
+        spark.readStream.schema(FLAT_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if block:
+        q.awaitTermination()
+    return q
