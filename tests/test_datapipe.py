@@ -925,3 +925,28 @@ def test_dedup_against_batch_vs_corpus(spark):
     assert exact["inter"] == exact["union_size"]  # Jaccard 1.0
     survivors = {r["doc_id"] for r in dedup_against(batch, corpus).collect()}
     assert survivors == {10, 11, 12, 13} - {int(a) for a in hit_ids}
+
+
+def test_pack_documents_prefix_sum_and_partition_invariance(spark):
+    """Token-range sharding: start_offset is the exclusive prefix sum of
+    token counts in doc_id order, shard_id = offset DIV capacity, and the
+    result is bit-identical across partition counts (the two-phase
+    distributed prefix sum may never depend on where the range
+    partitioner cut the key space)."""
+    from ummon_spark.datapipe.packing import pack_documents
+
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_documents(df, capacity=16).collect()}
+    acc = 0
+    for i in range(40):
+        n = 3 + (i * 7) % 11
+        r = out[str(i)]
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == acc
+        assert r["shard_id"] == acc // 16
+        acc += n
+    # partition-count invariance: 2 vs 9 range partitions, same answer
+    a = sorted(pack_documents(df, capacity=16, num_partitions=2).collect())
+    b = sorted(pack_documents(df, capacity=16, num_partitions=9).collect())
+    assert a == b

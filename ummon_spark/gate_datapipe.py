@@ -390,6 +390,12 @@ def q_dedup_against(spark, sf_dir):
     return near_hits_against(_batch_planted(docs), docs)
 
 
+def q_pack(spark, sf_dir):
+    from .datapipe.packing import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir))
+
+
 def q_semantic_clusters(spark, sf_dir):
     from .datapipe.similarity import kmeans_clusters
 
@@ -435,6 +441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_semantic_dupes": q_semantic_dupes,
     "dp_clean_lines": q_clean_lines,
     "dp_dedup_against": q_dedup_against,
+    "dp_pack": q_pack,
 }
 
 
@@ -1150,6 +1157,23 @@ FROM grams""",
     "dp_semantic_dupes": _semantic_dupes_oracle(),
     "dp_clean_lines": _clean_lines_oracle(),
     "dp_dedup_against": _dedup_against_oracle(),
+    # single-window oracle form; the Spark side's two-phase distributed
+    # prefix sum selects identical offsets (partition-boundary-independent)
+    "dp_pack": """WITH pk AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS k,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pko AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM pk
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 2048 AS BIGINT) AS shard_id
+FROM pko""",
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

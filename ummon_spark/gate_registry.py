@@ -110,6 +110,7 @@ FAMILIES: dict[str, str] = {
     "dp_semantic_dupes": "semantic-cluster",
     "dp_clean_lines": "line-quality",
     "dp_dedup_against": "cross-dedup",
+    "dp_pack": "packing",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -138,6 +139,9 @@ STAGED: dict[str, str] = {
     "dp_dedup_against": "cross-corpus (batch-vs-corpus) near-dedup: "
     "the small batch's band keys broadcast; the corpus band index is "
     "materialized once in production",
+    "dp_pack": "token-range sharding via two-phase distributed prefix "
+    "sum: P parallel sorted runs + one P-row driver hop, never a "
+    "single-task global window",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
