@@ -950,3 +950,56 @@ def test_pack_documents_prefix_sum_and_partition_invariance(spark):
     a = sorted(pack_documents(df, capacity=16, num_partitions=2).collect())
     b = sorted(pack_documents(df, capacity=16, num_partitions=9).collect())
     assert a == b
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Corpus-wide line dedup: a repeated line survives only at its
+    first (doc_id, line_idx) occurrence; docs reassemble in line order;
+    a doc whose every line loses comes back with text=''."""
+    from ummon_spark.datapipe.dedup import line_dedup
+
+    rows = [
+        ("a", "keep me.\nboiler\nunique a"),
+        ("b", "boiler\nunique b"),
+        ("c", "boiler"),          # all lines lose -> text ''
+        ("d", "dup\ndup\ntail"),  # within-doc repeat: first idx wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert len(out) == 4  # every input doc present
+    assert out["a"]["text"] == "keep me.\nboiler\nunique a"
+    assert out["a"]["n_removed_lines"] == 0
+    assert out["b"]["text"] == "unique b"
+    assert out["b"]["n_removed_lines"] == 1
+    assert out["c"]["text"] == "" and out["c"]["n_kept_lines"] == 0
+    assert out["d"]["text"] == "dup\ntail"
+    assert out["d"]["n_kept_lines"] == 2 and out["d"]["n_removed_lines"] == 1
+
+
+def test_shuffle_split_deterministic_permutation(spark):
+    """shuffle_rank is a permutation 0..n-1 in md5(doc_id) order,
+    stable across partition counts; split assignment is hash-stable per
+    doc (adding docs never flips an existing doc's split)."""
+    import hashlib
+
+    from ummon_spark.datapipe.packing import shuffle_split
+
+    rows = [(i, f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        shuffle_split(df).collect(), key=lambda r: r["shuffle_rank"]
+    )
+    assert [r["shuffle_rank"] for r in out] == list(range(60))
+    expect = sorted(range(60), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert [r["doc_id"] for r in out] == [str(i) for i in expect]
+    a = sorted(shuffle_split(df, num_partitions=2).collect())
+    b = sorted(shuffle_split(df, num_partitions=13).collect())
+    assert a == b
+    # split stability: the first 30 docs keep their split when 30 more arrive
+    small = dict(
+        (r["doc_id"], r["split"])
+        for r in shuffle_split(df.filter("doc_id < 30")).collect()
+    )
+    full = dict((r["doc_id"], r["split"]) for r in a)
+    assert all(full[d] == s for d, s in small.items())
+    assert set(full.values()) <= {"train", "val"}

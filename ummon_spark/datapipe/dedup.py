@@ -315,3 +315,58 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 2) -> DataF
         .select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """Corpus-wide line-level dedup (the RefinedWeb/MassiveText line
+    transformation): every line that appears anywhere else in the
+    corpus survives only at its FIRST occurrence — ordered by
+    (doc_id, line_idx) — and is removed everywhere else; documents are
+    reassembled from their surviving lines.
+
+    Returns (doc_id, text, n_kept_lines, n_removed_lines) for EVERY
+    input doc (a doc whose lines all lose dedup comes back with
+    text='').
+
+    Determinism is cross-engine: the occurrence order key is the
+    sortable string doc_id||'#'||lpad(line_idx, 6, '0') so Spark's
+    min() and DuckDB's MIN() pick the identical winner.
+
+    100 TB shape: one explode by line (data ~ corpus lines), ONE
+    groupBy on md5(line) for the winner (min-agg, map-side partials
+    absorb boilerplate-line skew before the shuffle), one shuffle join
+    back on the same key, one groupBy(doc_id) to reassemble. No
+    windows over the whole corpus, no driver-side state.
+    """
+    lines = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx0", "line"),
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).alias("idx"),
+        "line",
+        F.md5(F.col("line")).alias("k"),
+        F.concat(
+            F.col("doc_id"),
+            F.lit("#"),
+            F.lpad((F.col("idx0") + 1).cast("string"), 6, "0"),
+        ).alias("okey"),
+    )
+    winners = lines.groupBy("k").agg(F.min("okey").alias("w"))
+    flagged = lines.join(winners, "k").withColumn(
+        "keep", F.col("okey") == F.col("w")
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("text"),
+        F.count_if(F.col("keep")).cast("bigint").alias("n_kept_lines"),
+        F.count_if(~F.col("keep")).cast("bigint").alias("n_removed_lines"),
+    )

@@ -25,10 +25,51 @@ P parallel sorts + one P-row driver hop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hashing import token_hash
+
 PACK_CAPACITY = 2048
+VAL_PCT = 5  # deterministic held-out fraction for shuffle_split
+
+
+def _exclusive_prefix_sum(
+    df: DataFrame,
+    order_key: str,
+    weight: str,
+    num_partitions: int | None,
+    out: str,
+) -> DataFrame:
+    """Two-phase distributed exclusive prefix sum of `weight` in
+    `order_key` order: range-partition + in-partition sorts (P parallel
+    runs), a P-row driver hop for the per-partition offsets, then a
+    per-partition window. The result is independent of where the range
+    partitioner cut the key space."""
+    spark = df.sparkSession
+    n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    parted = (
+        df.repartitionByRange(n_part, F.col(order_key))
+        .sortWithinPartitions(order_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # P-row driver hop: per-partition totals -> exclusive prefix offsets
+    totals = {
+        r["_pid"]: r["t"]
+        for r in parted.groupBy("_pid").agg(F.sum(weight).alias("t")).collect()
+    }
+    offset_col: Column = F.lit(0).cast("bigint")
+    acc = 0
+    for pid in sorted(totals):
+        offset_col = F.when(
+            F.col("_pid") == pid, F.lit(acc).cast("bigint")
+        ).otherwise(offset_col)
+        acc += totals[pid]
+    w = Window.partitionBy("_pid").orderBy(order_key)
+    return parted.withColumn(
+        out, offset_col + F.sum(weight).over(w) - F.col(weight)
+    )
 
 
 def pack_documents(
@@ -39,44 +80,50 @@ def pack_documents(
     """(doc_id, n_tokens, start_offset, shard_id): token-range sharding
     over whitespace token counts in ascending doc_id order.
     shard_id = start_offset DIV capacity."""
-    spark = documents.sparkSession
-    n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     toks = documents.select(
         F.col("doc_id").cast("bigint").alias("_k"),
         F.col("doc_id").cast("string").alias("doc_id"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
-    parted = (
-        toks.repartitionByRange(n_part, F.col("_k"))
-        .sortWithinPartitions("_k")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    # P-row driver hop: per-partition totals -> exclusive prefix offsets
-    totals = {
-        r["_pid"]: r["t"]
-        for r in parted.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    offset_col = F.lit(0).cast("bigint")
-    for pid, off in offsets.items():
-        offset_col = F.when(F.col("_pid") == pid, F.lit(off).cast("bigint")).otherwise(
-            offset_col
-        )
-    w = Window.partitionBy("_pid").orderBy("_k")
-    start = (offset_col + F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-        "start_offset"
-    )
-    return parted.select(
-        "doc_id",
-        "n_tokens",
-        start,
+    return _exclusive_prefix_sum(
+        toks, "_k", "n_tokens", num_partitions, "start_offset"
     ).select(
         "doc_id",
         "n_tokens",
         "start_offset",
         F.expr(f"start_offset DIV {capacity}").cast("bigint").alias("shard_id"),
+    )
+
+
+def shuffle_split(
+    documents: DataFrame,
+    val_pct: int = VAL_PCT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, shuffle_rank, split): deterministic global shuffle +
+    train/val split — the layout step before writing training shards.
+
+    * shuffle_rank is the doc's position in md5(doc_id) order — a
+      deterministic pseudo-random permutation of the corpus, computed
+      with the same two-phase prefix machinery as pack_documents
+      (weight 1 = exclusive prefix COUNT), never one global window.
+    * split is hash-stable per document ('val' iff an independent
+      md5-derived hash mod 100 < val_pct), so re-running over a grown
+      corpus never migrates an old doc across the train/val boundary.
+    """
+    keyed = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+        F.lit(1).cast("bigint").alias("_one"),
+    )
+    ranked = _exclusive_prefix_sum(
+        keyed, "_h", "_one", num_partitions, "shuffle_rank"
+    )
+    split_hash = token_hash(F.col("doc_id"), "split") % 100
+    return ranked.select(
+        "doc_id",
+        "shuffle_rank",
+        F.when(split_hash < val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )

@@ -396,6 +396,23 @@ def q_pack(spark, sf_dir):
     return pack_documents(_docs(spark, sf_dir))
 
 
+def q_shuffle_split(spark, sf_dir):
+    from .datapipe.packing import shuffle_split
+
+    return shuffle_split(_docs(spark, sf_dir))
+
+
+def q_line_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return line_dedup(docs.unionByName(_lines_planted(docs)))
+
+
 def q_semantic_clusters(spark, sf_dir):
     from .datapipe.similarity import kmeans_clusters
 
@@ -442,6 +459,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_clean_lines": q_clean_lines,
     "dp_dedup_against": q_dedup_against,
     "dp_pack": q_pack,
+    "dp_shuffle_split": q_shuffle_split,
+    "dp_line_dedup": q_line_dedup,
 }
 
 
@@ -891,6 +910,62 @@ SELECT doc_id,
 FROM feat"""
 
 
+def _line_dedup_oracle() -> str:
+    """DuckDB twin of dedup.line_dedup over corpus + planted multi-line
+    rows (same planting as dp_line_stats): first occurrence by the
+    sortable doc_id||'#'||lpad(idx) key wins; all other copies of the
+    line are removed corpus-wide; docs reassemble from survivors."""
+    return f"""WITH ldbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+ldrows AS (
+  SELECT * FROM ldbase
+  UNION ALL
+  SELECT concat('lines::', doc_id),
+         concat('Doc ', doc_id, ' begins here.', chr(10),
+                '- bullet alpha', chr(10), '* bullet beta', chr(10),
+                'fragment', chr(10), chr(10), 'It ends now!')
+  FROM ldbase WHERE CAST(doc_id AS BIGINT) < {N_PLANTED_LINES}
+),
+ldex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS idx
+  FROM ldrows
+),
+ldkeyed AS (
+  SELECT doc_id, idx, line, md5(line) AS k,
+         doc_id || '#' || lpad(CAST(idx AS VARCHAR), 6, '0') AS okey
+  FROM ldex
+),
+ldwin AS (SELECT k, MIN(okey) AS w FROM ldkeyed GROUP BY k),
+ldkept AS (
+  SELECT doc_id, idx, line, (okey = w) AS keep
+  FROM ldkeyed JOIN ldwin USING (k)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(line ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS text,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lines,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed_lines
+FROM ldkept GROUP BY doc_id"""
+
+
+def _shuffle_split_oracle() -> str:
+    """DuckDB twin of packing.shuffle_split: the single-window
+    row_number form of the permutation the Spark side computes as a
+    two-phase distributed prefix count, plus the hash-stable split."""
+    from .datapipe.packing import VAL_PCT
+
+    return f"""WITH ssd AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(doc_id)) - 1 AS BIGINT) AS shuffle_rank,
+       CASE WHEN {token_hash_sql("doc_id", "split")} % 100 < {VAL_PCT}
+            THEN 'val' ELSE 'train' END AS split
+FROM ssd"""
+
+
 ORACLES: dict[str, str] = {
     "dp_doc_hashes": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS content_hash FROM documents",
     "dp_exact_dupes": f"""SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
@@ -1174,6 +1249,8 @@ pko AS (
 SELECT doc_id, n_tokens, start_offset,
        CAST(start_offset // 2048 AS BIGINT) AS shard_id
 FROM pko""",
+    "dp_shuffle_split": _shuffle_split_oracle(),
+    "dp_line_dedup": _line_dedup_oracle(),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

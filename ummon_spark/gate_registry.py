@@ -111,6 +111,8 @@ FAMILIES: dict[str, str] = {
     "dp_clean_lines": "line-quality",
     "dp_dedup_against": "cross-dedup",
     "dp_pack": "packing",
+    "dp_shuffle_split": "shuffle-split",
+    "dp_line_dedup": "line-dedup",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -142,6 +144,12 @@ STAGED: dict[str, str] = {
     "dp_pack": "token-range sharding via two-phase distributed prefix "
     "sum: P parallel sorted runs + one P-row driver hop, never a "
     "single-task global window",
+    "dp_shuffle_split": "deterministic global shuffle (md5 permutation "
+    "rank via the same two-phase prefix count) + hash-stable train/val "
+    "split that never migrates docs as the corpus grows",
+    "dp_line_dedup": "RefinedWeb-style corpus-wide line dedup: one "
+    "explode, one min-agg groupBy on md5(line) (map-side partials "
+    "absorb boilerplate skew), one join back, one reassembly groupBy",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
