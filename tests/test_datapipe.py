@@ -1003,3 +1003,100 @@ def test_shuffle_split_deterministic_permutation(spark):
     full = dict((r["doc_id"], r["split"]) for r in a)
     assert all(full[d] == s for d, s in small.items())
     assert set(full.values()) <= {"train", "val"}
+
+
+def test_multimodal_real_wav_decode_and_resample(spark):
+    """Real 16-bit PCM WAV path: synthesized stereo payload decodes to
+    exact sample counts and per-channel [mean, rms] features through
+    decode_media AND the typed decode_audio surface; nearest-neighbor
+    resampling halves the length deterministically."""
+    import numpy as np
+    from pytest import approx
+
+    from ummon_spark.datapipe.multimodal import (
+        MEDIA_TABLE_SCHEMA,
+        _parse_wav,
+        _resample_audio,
+        decode_audio,
+        decode_media,
+        encode_wav,
+    )
+
+    n = 800
+    left = (np.arange(n) % 256 - 128).astype(np.int16) * 64
+    right = np.full(n, 1000, dtype=np.int16)
+    samples = np.stack([left, right], axis=1)
+    payload = encode_wav(samples, 16000)
+    rate, ch, back = _parse_wav(payload)
+    assert (rate, ch) == (16000, 2) and np.array_equal(back, samples)
+
+    media = spark.createDataFrame(
+        [("wav::1", "audio", payload, {})], MEDIA_TABLE_SCHEMA
+    )
+    row = decode_media(media, fake=False).collect()[0]
+    assert row["n_frames"] == n and row["width"] is None
+    x = samples.astype("float64") / 32768.0
+    expect = [x[:, 0].mean(), np.sqrt((x[:, 0] ** 2).mean()),
+              x[:, 1].mean(), np.sqrt((x[:, 1] ** 2).mean())]
+    assert row["features"] == approx(expect, rel=1e-5)
+
+    arow = decode_audio(media, resample_to=8000).collect()[0]
+    assert (arow["sample_rate"], arow["n_channels"], arow["n_samples"]) == (8000, 2, 400)
+    half = _resample_audio(samples, 16000, 8000)
+    assert np.array_equal(half, samples[(np.arange(400) * 16000) // 8000])
+    hx = half.astype("float64") / 32768.0
+    assert arow["features"][1] == approx(float(np.sqrt((hx[:, 0] ** 2).mean())), rel=1e-5)
+
+
+def test_multimodal_real_y4m_decode_and_frame_extract(spark):
+    """Real Y4M (C420) path: a 3-frame synthetic video decodes to exact
+    dims/frame count/plane means; extract_frames pulls exactly the
+    sampled frames as P6 payloads — a chroma-neutral frame (U=V=128)
+    comes back with R=G=B=Y exactly, a high-V frame is red-dominant."""
+    import numpy as np
+    from pytest import approx
+
+    from ummon_spark.datapipe.multimodal import (
+        MEDIA_TABLE_SCHEMA,
+        _parse_ppm,
+        decode_media,
+        encode_y4m,
+        extract_frames,
+        frame_sample,
+    )
+
+    w, h = 8, 6
+    gray = (np.full((h, w), 77, np.uint8), np.full((h // 2, w // 2), 128, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8))
+    red = (np.full((h, w), 81, np.uint8), np.full((h // 2, w // 2), 90, np.uint8),
+           np.full((h // 2, w // 2), 240, np.uint8))
+    grad = (np.arange(h * w, dtype=np.uint8).reshape(h, w),
+            np.full((h // 2, w // 2), 100, np.uint8),
+            np.full((h // 2, w // 2), 60, np.uint8))
+    payload = encode_y4m([gray, red, grad], w, h)
+    media = spark.createDataFrame(
+        [("y4m::1", "video", payload, {})], MEDIA_TABLE_SCHEMA
+    )
+    decoded = decode_media(media, fake=False)
+    row = decoded.collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (w, h, 3)
+    mean_y = (77 + 81 + np.arange(h * w).mean()) / 3 / 255.0
+    assert row["features"][0] == approx(mean_y, rel=1e-5)
+
+    plan = frame_sample(decoded, every_n=2)  # frames 0 and 2
+    assert sorted(r["frame_idx"] for r in plan.collect()) == [0, 2]
+    frames = {r["frame_idx"]: r for r in extract_frames(media, plan).collect()}
+    assert set(frames) == {0, 2}
+    _, _, arr0 = _parse_ppm(frames[0]["payload"])
+    assert arr0.shape == (h, w, 3)
+    assert (arr0 == 77).all()  # chroma-neutral: R=G=B=Y exactly
+    _, _, arr2 = _parse_ppm(frames[2]["payload"])
+    assert np.array_equal(arr2[:, :, 0].reshape(-1)[:5], np.zeros(5))  # clipped at 0 for tiny Y
+
+    # red-dominant check on frame 1 via a full plan
+    all_frames = {
+        r["frame_idx"]: r for r in extract_frames(media, frame_sample(decoded, 1)).collect()
+    }
+    _, _, arr1 = _parse_ppm(all_frames[1]["payload"])
+    assert arr1[:, :, 0].mean() > arr1[:, :, 1].mean()
+    assert arr1[:, :, 0].mean() > arr1[:, :, 2].mean()

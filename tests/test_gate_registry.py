@@ -87,6 +87,11 @@ def test_doc_counts_in_sync():
     assert f"{c['total']}/{c['total']} gate queries" in baseline
     assert f"{c['tail']} tail" in baseline
     assert f"{c['staged']} staged" in baseline
+    readme = read("README.md")
+    assert f"({c['total']} entries" in readme
+    skill = read(".claude/skills/verify/SKILL.md")
+    assert f"has {c['total']} entries" in skill
+    assert f"{c['staged']} are r5-staged" in skill
 
 
 def test_spanify_subsumption(spark):

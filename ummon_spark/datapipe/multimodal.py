@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Pixel kernels: binary PPM (P6) AND PNG (non-interlaced 8-bit RGB/RGBA)
-decode, feature-extract and resize FOR REAL with stdlib zlib + numpy
-only (no media libs needed): `_parse_ppm`/`encode_ppm`,
-`_parse_png`/`encode_png` (full five-filter scanline unfilter),
-nearest-neighbor `_resize_ppm`. Remaining codecs (JPEG, audio, video,
-exotic PNG variants) are STUBS in this container (no codec libraries):
+Real kernels (stdlib + numpy only, no media libs needed):
+* images — binary PPM (P6) and PNG (non-interlaced 8-bit RGB/RGBA,
+  full five-filter scanline unfilter): `_parse_ppm`/`encode_ppm`,
+  `_parse_png`/`encode_png`, nearest-neighbor `_resize_ppm`;
+* audio — RIFF/WAVE 16-bit PCM: `_parse_wav`/`encode_wav`, per-channel
+  mean+RMS features, nearest-neighbor `_resample_audio`;
+* video — YUV4MPEG2 (Y4M, C420 chroma): `_parse_y4m`/`encode_y4m`,
+  plane means, and REAL sampled-frame extraction (`extract_frames`)
+  with integer BT.601 YUV→RGB emitted as P6 payloads.
+Remaining codecs (JPEG, MP3/Opus, MP4/H.264, exotic PNG variants) are
+STUBS in this container (no codec libraries):
 they raise NotImplementedError unless `fake=True`, in which case a
 deterministic fake decoder (md5-seeded dimensions/features) exercises
 the real Spark plumbing — schema, partitioning, Arrow batch shape, UDF
@@ -234,6 +239,175 @@ def encode_png(arr) -> bytes:
     )
 
 
+# --- real WAV (RIFF 16-bit PCM) audio kernel: stdlib struct + numpy --------
+
+
+def is_wav(payload) -> bool:
+    return (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WAVE"
+    )
+
+
+def _parse_wav(payload: bytes):
+    """WAV payload -> (sample_rate, n_channels, (n_samples, n_channels)
+    int16 array). RIFF chunk walk (fmt /data); 16-bit integer PCM only —
+    compressed/float formats are the codec-lib cases and raise."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if not is_wav(buf):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV format {fmt}/{bits}-bit (16-bit PCM only)"
+                )
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // channels
+    return rate, channels, samples[: n * channels].reshape(n, channels)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """(n_samples, n_channels) int16 array -> RIFF/WAVE 16-bit PCM."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    n, ch = arr.shape
+    body = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _wav_features(samples) -> list[float]:
+    """Per-channel [mean, rms] in [-1, 1]/[0, 1] full-scale units —
+    float64 over int arithmetic, exact-testable."""
+    import numpy as np
+
+    x = samples.astype("float64") / 32768.0
+    means = x.mean(axis=0)
+    rms = np.sqrt((x * x).mean(axis=0))
+    return [float(v) for pair in zip(means, rms) for v in pair]
+
+
+def _resample_audio(samples, src_rate: int, dst_rate: int):
+    """Nearest-neighbor sample-rate conversion via the same integer
+    index math as _resize_ppm (src = dst * src_rate // dst_rate)."""
+    import numpy as np
+
+    n = samples.shape[0]
+    new_n = max(n * dst_rate // src_rate, 1)
+    idx = (np.arange(new_n) * src_rate) // dst_rate
+    return samples[np.minimum(idx, n - 1)]
+
+
+# --- real Y4M (YUV4MPEG2, C420) video kernel: numpy only -------------------
+
+Y4M_SIG = b"YUV4MPEG2 "
+
+
+def is_y4m(payload) -> bool:
+    return payload is not None and bytes(payload[:10]) == Y4M_SIG
+
+
+def _parse_y4m(payload: bytes):
+    """Y4M payload -> (width, height, [(Y, U, V) uint8 planes per
+    frame]). C420 chroma (the Y4M default and its jpeg/mpeg2/paldv
+    siting variants share the plane layout); other samplings raise."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if not is_y4m(buf):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = buf.index(b"\n")
+    width = height = None
+    chroma = "420"
+    for tok in buf[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode()
+    if width is None or height is None:
+        raise ValueError("Y4M missing W/H header tokens")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported Y4M chroma C{chroma} (C420* only)")
+    ylen, clen = width * height, (width // 2) * (height // 2)
+    pos, frames = nl + 1, []
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        pos = buf.index(b"\n", pos) + 1
+        y = np.frombuffer(buf, np.uint8, ylen, pos).reshape(height, width)
+        u = np.frombuffer(buf, np.uint8, clen, pos + ylen).reshape(
+            height // 2, width // 2
+        )
+        v = np.frombuffer(buf, np.uint8, clen, pos + ylen + clen).reshape(
+            height // 2, width // 2
+        )
+        frames.append((y, u, v))
+        pos += ylen + 2 * clen
+    return width, height, frames
+
+
+def encode_y4m(frames, width: int, height: int) -> bytes:
+    """[(Y, U, V)] uint8 planes -> YUV4MPEG2 C420 payload."""
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (width, height)
+    out = [head]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.append(y.astype("uint8").tobytes())
+        out.append(u.astype("uint8").tobytes())
+        out.append(v.astype("uint8").tobytes())
+    return b"".join(out)
+
+
+def _y4m_features(frames) -> list[float]:
+    """[mean Y, mean U, mean V] over all frames, in [0, 1]."""
+    import numpy as np
+
+    return [
+        float(np.concatenate([f[i].reshape(-1) for f in frames]).astype("float64").mean())
+        / 255.0
+        for i in range(3)
+    ]
+
+
+def _yuv420_to_rgb(y, u, v):
+    """Integer BT.601 full-range YUV->RGB with 2x nearest-neighbor
+    chroma upsampling — deterministic (fixed-point x1024 arithmetic)."""
+    import numpy as np
+
+    yy = y.astype(np.int32)
+    uu = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1).astype(np.int32) - 128
+    vv = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1).astype(np.int32) - 128
+    uu, vv = uu[: yy.shape[0], : yy.shape[1]], vv[: yy.shape[0], : yy.shape[1]]
+    r = yy + (1436 * vv) // 1024
+    g = yy - (352 * uu + 731 * vv) // 1024
+    b = yy + (1815 * uu) // 1024
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
 def _ppm_features(arr) -> list[float]:
     """Per-channel mean intensity in [0, 1] — the deterministic feature
     vector of the real decode path (float64 means, exact-testable)."""
@@ -268,9 +442,10 @@ def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real decode: PPM (P6) and PNG (non-interlaced 8-bit RGB/RGBA)
-    payloads via the stdlib-zlib + numpy kernels; remaining formats
-    (JPEG/audio/video) need codec libs this container lacks ->
+    """Real decode: PPM (P6) / PNG images, WAV (16-bit PCM) audio
+    (width/height null, n_frames = samples, features = per-channel
+    [mean, rms]), Y4M (C420) video (features = plane means); remaining
+    formats (JPEG/MP3/MP4) need codec libs this container lacks ->
     NotImplementedError."""
     out = []
     for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
@@ -280,12 +455,18 @@ def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
         elif kind == "image" and is_png(payload):
             w, h, arr = _parse_png(payload)
             out.append((ref, kind, w, h, 1, _ppm_features(arr)))
+        elif kind == "audio" and is_wav(payload):
+            _rate, _ch, samples = _parse_wav(payload)
+            out.append((ref, kind, None, None, samples.shape[0], _wav_features(samples)))
+        elif kind == "video" and is_y4m(payload):
+            w, h, frames = _parse_y4m(payload)
+            out.append((ref, kind, w, h, len(frames), _y4m_features(frames)))
         else:
             raise NotImplementedError(
-                f"real decode for media_ref={ref!r} ({kind}): only "
-                "uncompressed PPM (P6) and non-interlaced 8-bit RGB/RGBA "
-                "PNG decode without codec libs; pass fake=True for the "
-                "deterministic stub decoder"
+                f"real decode for media_ref={ref!r} ({kind}): PPM (P6), "
+                "non-interlaced 8-bit RGB/RGBA PNG, 16-bit PCM WAV and "
+                "C420 Y4M decode without codec libs; pass fake=True for "
+                "the deterministic stub decoder"
             )
     return pd.DataFrame(
         out, columns=["media_ref", "kind", "width", "height", "n_frames", "features"]
@@ -380,8 +561,8 @@ def resize_media(
 
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
     """(media_ref, frame_idx) sampling plan for video rows — pure
-    column ops (sequence + filter), the decode of each sampled frame
-    would run in a second mapInPandas stage."""
+    column ops (sequence + filter); extract_frames is the second
+    mapInPandas stage that decodes exactly the sampled frames."""
     return (
         decoded.filter(F.col("kind") == "video")
         .select(
@@ -391,3 +572,87 @@ def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, resample_to: int | None = None) -> DataFrame:
+    """Typed audio decode over WAV (16-bit PCM) payloads: sample rate,
+    channel count, length and per-channel [mean, rms] features; with
+    resample_to set, features/n_samples describe the nearest-neighbor
+    resampled signal (the shape a feature-extraction model consumes).
+    Arrow-batched mapInPandas like decode_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                rate, ch, samples = _parse_wav(payload)
+                if resample_to is not None and resample_to != rate:
+                    samples = _resample_audio(samples, rate, resample_to)
+                    rate = resample_to
+                out.append(
+                    (ref, rate, ch, samples.shape[0], _wav_features(samples))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_ref", "sample_rate", "n_channels", "n_samples", "features",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_ref", "payload"
+    ).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def extract_frames(media: DataFrame, plan: DataFrame) -> DataFrame:
+    """REAL sampled-frame extraction for Y4M video: join the payload
+    table to the frame_sample plan (payload travels ONCE per media_ref
+    — the plan is collect_list'd per ref before the kernel so a video
+    is decoded a single time however many frames are sampled), decode,
+    convert each sampled frame YUV420->RGB (integer BT.601) and emit it
+    as a P6 payload ready for the image kernels."""
+    wanted = plan.groupBy("media_ref").agg(
+        F.sort_array(F.collect_list("frame_idx")).alias("frame_idxs")
+    )
+    joined = media.select("media_ref", "payload").join(wanted, "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ref, payload, idxs in zip(
+                pdf["media_ref"], pdf["payload"], pdf["frame_idxs"]
+            ):
+                w, h, frames = _parse_y4m(payload)
+                for i in idxs:
+                    if 0 <= int(i) < len(frames):
+                        y, u, v = frames[int(i)]
+                        out.append(
+                            (ref, int(i), w, h, encode_ppm(_yuv420_to_rgb(y, u, v)))
+                        )
+            yield pd.DataFrame(
+                out, columns=["media_ref", "frame_idx", "width", "height", "payload"]
+            )
+
+    return joined.mapInPandas(run, schema=FRAME_SCHEMA)
