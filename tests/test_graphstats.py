@@ -1,0 +1,186 @@
+"""Unit tests for operators/graphstats.py (triangle counting +
+common-neighbor link prediction) and datapipe/retrieval.py (BM25).
+
+Gate parity (test_gate_parity) checks these against their DuckDB
+oracles over the driver corpus; the tests here pin the SEMANTICS on
+hand-checkable and adversarial inputs: a brute-force triangle oracle
+on a deterministic pseudo-random graph, orientation invariance, the
+hub-guard and anti-join rules of link prediction, and BM25 ordering
+behavior (rarity wins, saturation, length normalization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, "rel", b) for a, b in pairs], "subj string, pred string, obj string"
+    )
+
+
+def _pseudo_random_graph(n=40, m=160):
+    """Deterministic edge list via md5 (no Math.random in tests either:
+    reproducibility is the point). Includes self-loops, duplicates and
+    both orientations to exercise the simple-graph normalization."""
+    pairs = []
+    for i in range(m):
+        h = hashlib.md5(f"gs::{i}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % n, int(h[8:16], 16) % n
+        pairs.append((f"n{a}", f"n{b}"))
+    return pairs
+
+
+def _brute_triangles(pairs):
+    und = {
+        tuple(sorted(p)) for p in pairs if p[0] != p[1]
+    }
+    nodes = sorted({x for p in und for x in p})
+    count = dict()
+    for x, y, z in itertools.combinations(nodes, 3):
+        if ((x, y) in und and (y, z) in und
+                and tuple(sorted((x, z))) in und):
+            for v in (x, y, z):
+                count[v] = count.get(v, 0) + 1
+    return count
+
+
+def test_triangle_counts_match_brute_force(spark):
+    from ummon_spark.operators.graphstats import triangle_counts
+
+    pairs = _pseudo_random_graph()
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+    assert got, "pseudo-random graph should contain triangles"
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Reversing every edge (and duplicating a few in both directions)
+    must not change the undirected triangle counts."""
+    from ummon_spark.operators.graphstats import triangle_counts
+
+    pairs = _pseudo_random_graph(n=20, m=60)
+    fwd = triangle_counts(_edges_df(spark, pairs)).collect()
+    rev = triangle_counts(
+        _edges_df(spark, [(b, a) for a, b in pairs] + pairs[:10])
+    ).collect()
+    assert sorted(map(tuple, fwd)) == sorted(map(tuple, rev))
+
+
+def test_common_neighbors_hand_checked(spark):
+    """Path a-c-b plus edge a-d, b-d: pair (a,b) shares {c, d};
+    deg(a)=deg(b)=2, so jaccard = 2/(2+2-2) = 1.0. Pair (c,d) shares
+    {a, b} with the same degrees. Adjacent pairs are excluded."""
+    from ummon_spark.operators.graphstats import (
+        JACCARD_SCALE,
+        common_neighbors,
+    )
+
+    pairs = [("a", "c"), ("c", "b"), ("a", "d"), ("b", "d")]
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["jaccard_scaled"])
+        for r in common_neighbors(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, JACCARD_SCALE),
+        ("c", "d"): (2, JACCARD_SCALE),
+    }
+
+
+def test_common_neighbors_hub_guard_and_antijoin(spark):
+    """A hub with degree > max_center_degree must not act as a wedge
+    center: its leaves get no pairs through it. Pairs that are already
+    edges never appear regardless."""
+    from ummon_spark.operators.graphstats import common_neighbors
+
+    hub = [("hub", f"leaf{i}") for i in range(5)]
+    # triangle so SOME pair exists via a small center
+    tri = [("x", "y"), ("y", "z"), ("x", "z"), ("x", "w"), ("y", "w")]
+    edges = _edges_df(spark, hub + tri)
+    got = {
+        (r["a"], r["b"]) for r in common_neighbors(edges, max_center_degree=3).collect()
+    }
+    assert all("leaf" not in a and "leaf" not in b for a, b in got)
+    # (x, y) share z and w but are adjacent -> excluded; (w, z) share x, y
+    assert ("w", "z") in got and ("x", "y") not in got
+    # with the cap lifted the hub pairs appear
+    got_full = {
+        (r["a"], r["b"]) for r in common_neighbors(edges, max_center_degree=100).collect()
+    }
+    assert ("leaf0", "leaf1") in got_full
+
+
+def test_common_neighbors_topk_rank(spark):
+    from ummon_spark.operators.graphstats import common_neighbors_topk
+
+    pairs = _pseudo_random_graph(n=15, m=50)
+    rows = common_neighbors_topk(_edges_df(spark, pairs), k=5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    keys = [
+        (-r["jaccard_scaled"], -r["n_common"], r["a"], r["b"]) for r in rows
+    ]
+    assert keys == sorted(keys)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the rare query term beats docs matching only the
+    ubiquitous one; a doc matching both beats both. Ties break on
+    doc_id ascending and rank is dense 1..k."""
+    from ummon_spark.datapipe.retrieval import bm25_topk
+
+    texts = (
+        ["common filler filler"] * 6          # docs 0-5: common only
+        + ["rare filler filler"]              # doc 6: rare only
+        + ["rare common filler"]              # doc 7: both
+    )
+    rows = bm25_topk(_docs_df(spark, texts), ["rare", "common"], k=10).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in rows}
+    assert by_rank[1] == "7"                  # both terms
+    assert by_rank[2] == "6"                  # rare only
+    assert set(by_rank[r] for r in range(3, 9)) == {"0", "1", "2", "3", "4", "5"}
+    assert [r for r in sorted(by_rank)] == list(range(1, 9))
+    # identical docs tie -> doc_id ascending
+    assert [by_rank[r] for r in range(3, 9)] == ["0", "1", "2", "3", "4", "5"]
+
+
+def test_bm25_tf_saturates_and_length_normalizes(spark):
+    """More occurrences score higher but sub-linearly (k1 saturation);
+    the same tf in a longer doc scores lower (b normalization)."""
+    from ummon_spark.datapipe.retrieval import bm25_topk
+
+    texts = [
+        "term x",                # doc 0: tf=1, short
+        "term term x",           # doc 1: tf=2
+        "term term term term x",  # doc 2: tf=4
+        "term " + "pad " * 30 + "x",  # doc 3: tf=1, long
+    ]
+    score = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(_docs_df(spark, texts), ["term"], k=10).collect()
+    }
+    assert score["2"] > score["1"] > score["0"] > score["3"]
+    # saturation: tf 1->2 gains more than tf 2->4
+    assert score["1"] - score["0"] > score["2"] - score["1"]
+
+
+def test_bm25_empty_and_unknown_terms(spark):
+    from ummon_spark.datapipe.retrieval import bm25_topk
+
+    docs = _docs_df(spark, ["a b c", "b c d"])
+    assert bm25_topk(docs, ["zzz"], k=5).count() == 0
+    out = bm25_topk(docs, ["B", "b", ""], k=5)  # dedup + lowercase + drop empty
+    assert out.count() == 2
+    assert out.schema["score"].dataType.typeName() == "long"

@@ -495,6 +495,19 @@ def q_dm_relates_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relates_to_edges(rep, g.edges).select("id", "subj", "pred", "obj")
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graphstats import triangle_counts
+
+    return triangle_counts(_graph(spark, sf_dir).edges)
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graphstats import common_neighbors_topk
+
+    # k pinned to _CN_TOP_K (defined with the oracle constants below)
+    return common_neighbors_topk(_graph(spark, sf_dir).edges, k=_CN_TOP_K)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_spans": q_spans,
     "kg_mentions": q_mentions,
@@ -537,12 +550,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_visibility": q_visibility,
     "kg_incremental_parity": q_incremental_parity,
     "kg_media_hotkeys": q_media_hotkeys,
+    "kg_triangles": q_triangles,
+    "kg_common_neighbors": q_common_neighbors,
 }
 
 
 # --- DuckDB oracle side ----------------------------------------------------
 
 _PREDS_SQL = ", ".join(f"'{p}'" for p in TRANS_PREDS)
+
+# graph-stats twins (operators/graphstats.py): the undirected simple
+# graph over the edge relation, plus the constants both sides share
+from .operators.graphstats import (  # noqa: E402
+    DEFAULT_MAX_CENTER_DEGREE as _CN_MAX_CENTER_DEGREE,
+)
+from .operators.graphstats import JACCARD_SCALE as _CN_JACCARD_SCALE  # noqa: E402
+
+_CN_TOP_K = 100
+_UND_CTE = """und AS (
+  SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM edges WHERE subj <> obj
+)"""
 
 # trigram set of a string expr — twin of linking._trigram_set
 _TRI = (
@@ -1012,5 +1040,62 @@ SELECT 'edge', id, subj, pred, obj, '' FROM edges""",
           SELECT 1 FROM all_nodes c WHERE c.entity_type = 'Class'
             AND c.doc_id = n.doc_id AND c.name = n.name)) AS is_constructor
 FROM all_nodes n""",
+    ),
+    # graph stats: oracle counts triangles by the plain a<b<c triple
+    # join — orientation-free, so it cross-checks the Spark side's
+    # degree-oriented enumeration rather than mirroring it
+    "kg_triangles": oracle.q(
+        oracle.GRAPH_CTES
+        + f""",
+{_UND_CTE},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)""",
+        """SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id""",
+    ),
+    "kg_common_neighbors": oracle.q(
+        oracle.GRAPH_CTES
+        + f""",
+{_UND_CTE},
+cnb_deg AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT unnest([a, b]) AS id FROM und) GROUP BY id
+),
+cnb_nbrs AS (
+  SELECT a AS center, b AS nbr FROM und
+  UNION ALL SELECT b AS center, a AS nbr FROM und
+),
+cnb_small AS (
+  SELECT center, nbr FROM cnb_nbrs
+  JOIN cnb_deg ON cnb_deg.id = cnb_nbrs.center
+  WHERE cnb_deg.deg <= {_CN_MAX_CENTER_DEGREE}
+),
+cnb_pairs AS (
+  SELECT n1.nbr AS a, n2.nbr AS b, COUNT(*) AS n_common
+  FROM cnb_small n1 JOIN cnb_small n2 USING (center)
+  WHERE n1.nbr < n2.nbr GROUP BY 1, 2
+),
+cnb_new AS (
+  SELECT p.* FROM cnb_pairs p
+  LEFT JOIN und u ON u.a = p.a AND u.b = p.b WHERE u.a IS NULL
+),
+cnb_scored AS (
+  SELECT cnb_new.a, cnb_new.b, CAST(n_common AS BIGINT) AS n_common,
+         CAST({_CN_JACCARD_SCALE} * n_common
+              // (da.deg + db.deg - n_common) AS BIGINT) AS jaccard_scaled
+  FROM cnb_new
+  JOIN cnb_deg da ON da.id = cnb_new.a
+  JOIN cnb_deg db ON db.id = cnb_new.b
+)""",
+        f"""SELECT a, b, n_common, jaccard_scaled, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY jaccard_scaled DESC, n_common DESC, a ASC, b ASC) AS rnk
+  FROM cnb_scored
+) WHERE rnk <= {_CN_TOP_K}""",
     ),
 }

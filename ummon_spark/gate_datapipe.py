@@ -425,6 +425,16 @@ def q_semantic_dupes(spark, sf_dir):
     return semantic_near_dups(_embs_planted(spark, sf_dir), COS_THRESH_MILLI)
 
 
+# BM25 gate query: terms from the corpus vocabulary with distinct dfs
+BM25_QUERY = ("join", "hash", "vector")
+
+
+def q_bm25(spark, sf_dir):
+    from .datapipe.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(BM25_QUERY))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -461,11 +471,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_pack": q_pack,
     "dp_shuffle_split": q_shuffle_split,
     "dp_line_dedup": q_line_dedup,
+    "dp_bm25": q_bm25,
 }
 
 
 # --- oracle SQL ------------------------------------------------------------
 
+from .datapipe.retrieval import bm25_oracle_sql  # noqa: E402
 from .datapipe.textstats import LANGS, STOPWORDS  # noqa: E402
 
 TOKENS_CTE = """
@@ -1251,6 +1263,7 @@ SELECT doc_id, n_tokens, start_offset,
 FROM pko""",
     "dp_shuffle_split": _shuffle_split_oracle(),
     "dp_line_dedup": _line_dedup_oracle(),
+    "dp_bm25": bm25_oracle_sql(list(BM25_QUERY)),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

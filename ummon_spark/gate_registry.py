@@ -113,6 +113,9 @@ FAMILIES: dict[str, str] = {
     "dp_pack": "packing",
     "dp_shuffle_split": "shuffle-split",
     "dp_line_dedup": "line-dedup",
+    "kg_triangles": "graph-stats",
+    "kg_common_neighbors": "graph-stats",
+    "dp_bm25": "retrieval",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -150,6 +153,15 @@ STAGED: dict[str, str] = {
     "dp_line_dedup": "RefinedWeb-style corpus-wide line dedup: one "
     "explode, one min-agg groupBy on md5(line) (map-side partials "
     "absorb boilerplate skew), one join back, one reassembly groupBy",
+    "kg_triangles": "degree-oriented triangle counting: per-node "
+    "oriented out-degree O(sqrt(m)) bounds the wedge join; oracle "
+    "cross-checks via the orientation-free a<b<c triple join",
+    "kg_common_neighbors": "common-neighbor/Jaccard link prediction: "
+    "wedge centers capped at degree 64 (the hub guard IS the "
+    "semantics), bigint-scaled Jaccard, TakeOrdered top-k",
+    "dp_bm25": "bigint-exact BM25 retrieval (rational idf + cleared-"
+    "denominator tf saturation): term-filtered tf agg, broadcast df "
+    "join, distributed top-k",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
