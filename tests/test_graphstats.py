@@ -129,6 +129,70 @@ def test_common_neighbors_topk_rank(spark):
     assert keys == sorted(keys)
 
 
+def _brute_pagerank(node_ids, pairs, n_iters=5, scale=1_000_000):
+    """Pure-python twin of the integer recurrence (floor div, exact)."""
+    pairs = sorted({p for p in pairs})
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = scale * 15 // 100
+    score = {n: scale for n in node_ids}
+    for _ in range(n_iters):
+        new = {n: base for n in node_ids}
+        for a, b in pairs:
+            if a in score:
+                new[b] = new.get(b, base) + (85 * score[a]) // (100 * outdeg[a])
+        score = {n: new[n] for n in node_ids}
+    return score
+
+
+def test_pagerank_matches_brute_force(spark):
+    from ummon_spark.operators.graphstats import pagerank
+
+    raw = _pseudo_random_graph(n=25, m=80)
+    pairs = sorted({p for p in raw})
+    node_ids = sorted({x for p in pairs for x in p})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id string")
+    got = {
+        r["id"]: r["score"]
+        for r in pagerank(nodes, _edges_df(spark, raw)).collect()
+    }
+    assert got == _brute_pagerank(node_ids, pairs)
+
+
+def test_pagerank_sink_and_source(spark):
+    """Chain a->b->c: the sink accumulates, the source stays at base
+    after iteration 1; exact values hand-derived from the recurrence."""
+    from ummon_spark.operators.graphstats import pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    got = {
+        r["id"]: r["score"]
+        for r in pagerank(nodes, _edges_df(spark, [("a", "b"), ("b", "c")])).collect()
+    }
+    assert got == _brute_pagerank(["a", "b", "c"], [("a", "b"), ("b", "c")])
+    assert got["a"] == 150_000              # pure source: base only
+    assert got["c"] > got["b"] > got["a"]   # downstream accumulates
+
+
+def test_pagerank_parallel_preds_collapse(spark):
+    """Two predicates over the same (subj, obj) count once (DISTINCT
+    pair semantics)."""
+    from ummon_spark.operators.graphstats import pagerank
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "id string")
+    single = spark.createDataFrame(
+        [("a", "calls", "b")], "subj string, pred string, obj string"
+    )
+    double = spark.createDataFrame(
+        [("a", "calls", "b"), ("a", "imports", "b")],
+        "subj string, pred string, obj string",
+    )
+    s1 = sorted(map(tuple, pagerank(nodes, single).collect()))
+    s2 = sorted(map(tuple, pagerank(nodes, double).collect()))
+    assert s1 == s2
+
+
 def _docs_df(spark, texts):
     return spark.createDataFrame(
         [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"

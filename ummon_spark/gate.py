@@ -501,6 +501,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_graph(spark, sf_dir).edges)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graphstats import pagerank
+
+    g = _graph(spark, sf_dir)
+    return pagerank(g.nodes, g.edges)
+
+
 def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graphstats import common_neighbors_topk
 
@@ -552,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_media_hotkeys": q_media_hotkeys,
     "kg_triangles": q_triangles,
     "kg_common_neighbors": q_common_neighbors,
+    "kg_pagerank": q_pagerank,
 }
 
 
@@ -565,6 +573,10 @@ from .operators.graphstats import (  # noqa: E402
     DEFAULT_MAX_CENTER_DEGREE as _CN_MAX_CENTER_DEGREE,
 )
 from .operators.graphstats import JACCARD_SCALE as _CN_JACCARD_SCALE  # noqa: E402
+
+from .operators.graphstats import pagerank_oracle_ctes as _pgr_ctes  # noqa: E402
+
+_PGR_CTES, _PGR_BODY = _pgr_ctes()
 
 _CN_TOP_K = 100
 _UND_CTE = """und AS (
@@ -1097,5 +1109,9 @@ FROM (
     ORDER BY jaccard_scaled DESC, n_common DESC, a ASC, b ASC) AS rnk
   FROM cnb_scored
 ) WHERE rnk <= {_CN_TOP_K}""",
+    ),
+    "kg_pagerank": oracle.q(
+        oracle.GRAPH_CTES + ",\n" + _PGR_CTES,
+        _PGR_BODY,
     ),
 }

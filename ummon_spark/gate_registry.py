@@ -115,6 +115,7 @@ FAMILIES: dict[str, str] = {
     "dp_line_dedup": "line-dedup",
     "kg_triangles": "graph-stats",
     "kg_common_neighbors": "graph-stats",
+    "kg_pagerank": "graph-stats",
     "dp_bm25": "retrieval",
 }
 
@@ -162,6 +163,10 @@ STAGED: dict[str, str] = {
     "dp_bm25": "bigint-exact BM25 retrieval (rational idf + cleared-"
     "denominator tf saturation): term-filtered tf agg, broadcast df "
     "join, distributed top-k",
+    "kg_pagerank": "integer-exact PageRank (bigint scores, rational "
+    "damping, floor-div contributions): one score-vs-edges join + one "
+    "map-side-combinable sum per iteration, lineage cut per round; "
+    "oracle = the recurrence unrolled into chained CTEs",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
