@@ -1005,6 +1005,85 @@ def test_shuffle_split_deterministic_permutation(spark):
     assert set(full.values()) <= {"train", "val"}
 
 
+def test_jpeg_codec_roundtrip_properties():
+    """Pure-codec checks (no Spark): solid blocks survive quantization
+    exactly (DC-only), gradients stay within JPEG-loss bounds at both
+    samplings, encode/decode are deterministic, and unsupported
+    variants raise precisely."""
+    import numpy as np
+    import pytest
+
+    from ummon_spark.datapipe.jpeg import _parse_jpeg, encode_jpeg, is_jpeg
+
+    solid = np.full((24, 32, 3), 128, dtype=np.uint8)
+    payload = encode_jpeg(solid)
+    assert is_jpeg(payload) and not is_jpeg(b"\x89PNG")
+    w, h, out = _parse_jpeg(payload)
+    assert (w, h) == (32, 24) and np.array_equal(out, solid)
+
+    gy, gx = np.mgrid[0:33, 0:47]
+    grad = np.stack(
+        [(gx * 5) % 256, (gy * 7) % 256, ((gx + gy) * 3) % 256], -1
+    ).astype(np.uint8)
+    for sub, bound in ((True, 16), (False, 8)):
+        w, h, dec = _parse_jpeg(encode_jpeg(grad, quality=90, subsample=sub))
+        assert (w, h) == (47, 33)
+        assert int(np.abs(dec.astype(int) - grad.astype(int)).max()) <= bound
+
+    assert encode_jpeg(grad) == encode_jpeg(grad)
+    assert np.array_equal(_parse_jpeg(encode_jpeg(grad))[2],
+                          _parse_jpeg(encode_jpeg(grad))[2])
+
+    # progressive (SOF2) raises with a precise message
+    prog = bytearray(encode_jpeg(solid))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        _parse_jpeg(bytes(prog))
+
+
+def test_multimodal_real_jpeg_decode_and_resize(spark):
+    """Baseline JPEG payloads flow through the REAL decode_media and
+    resize_media paths: dims/features from decoded pixels, resize
+    re-encodes as JPEG at the planned dims."""
+    import numpy as np
+    from pytest import approx
+
+    from ummon_spark.datapipe.jpeg import _parse_jpeg, encode_jpeg, is_jpeg
+    from ummon_spark.datapipe.multimodal import (
+        MEDIA_TABLE_SCHEMA,
+        decode_media,
+        resize_media,
+        resize_plan,
+    )
+
+    img = np.zeros((20, 600, 3), np.uint8)
+    img[:, :300] = (200, 40, 90)
+    img[:, 300:] = (10, 220, 130)
+    payload = encode_jpeg(img)
+    media = spark.createDataFrame(
+        [("jpg::1", "image", payload, {})], MEDIA_TABLE_SCHEMA
+    )
+    decoded = decode_media(media, fake=False)
+    row = decoded.collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (600, 20, 1)
+    _, _, pixels = _parse_jpeg(payload)
+    assert row["features"] == approx(
+        [pixels[..., c].mean() / 255.0 for c in range(3)], rel=1e-5
+    )
+
+    plan = resize_plan(decoded, max_side=256)
+    prow = plan.collect()[0]
+    assert (prow["new_width"], prow["new_height"]) == (256, 8)
+    rrow = resize_media(media, plan, fake=False).collect()[0]
+    assert is_jpeg(rrow["payload"])
+    rw, rh, rarr = _parse_jpeg(rrow["payload"])
+    assert (rw, rh) == (256, 8)
+    # halves keep their colors through resample + re-encode (lossy)
+    assert abs(int(rarr[4, 10, 0]) - 200) < 12
+    assert abs(int(rarr[4, 200, 1]) - 220) < 12
+
+
 def test_multimodal_real_wav_decode_and_resample(spark):
     """Real 16-bit PCM WAV path: synthesized stereo payload decodes to
     exact sample counts and per-channel [mean, rms] features through

@@ -2,16 +2,18 @@
 columns with typed metadata.
 
 Real kernels (stdlib + numpy only, no media libs needed):
-* images — binary PPM (P6) and PNG (non-interlaced 8-bit RGB/RGBA,
-  full five-filter scanline unfilter): `_parse_ppm`/`encode_ppm`,
-  `_parse_png`/`encode_png`, nearest-neighbor `_resize_ppm`;
+* images — binary PPM (P6), PNG (non-interlaced 8-bit RGB/RGBA, full
+  five-filter scanline unfilter) AND baseline JPEG (sequential SOF0,
+  4:4:4/4:2:0, Annex-K Huffman — full codec in `jpeg.py`):
+  `_parse_ppm`/`encode_ppm`, `_parse_png`/`encode_png`,
+  `_parse_jpeg`/`encode_jpeg`, nearest-neighbor `_resize_ppm`;
 * audio — RIFF/WAVE 16-bit PCM: `_parse_wav`/`encode_wav`, per-channel
   mean+RMS features, nearest-neighbor `_resample_audio`;
 * video — YUV4MPEG2 (Y4M, C420 chroma): `_parse_y4m`/`encode_y4m`,
   plane means, and REAL sampled-frame extraction (`extract_frames`)
   with integer BT.601 YUV→RGB emitted as P6 payloads.
-Remaining codecs (JPEG, MP3/Opus, MP4/H.264, exotic PNG variants) are
-STUBS in this container (no codec libraries):
+Remaining codecs (progressive JPEG, MP3/Opus, MP4/H.264, exotic PNG
+variants) are STUBS in this container (no codec libraries):
 they raise NotImplementedError unless `fake=True`, in which case a
 deterministic fake decoder (md5-seeded dimensions/features) exercises
 the real Spark plumbing — schema, partitioning, Arrow batch shape, UDF
@@ -38,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import _parse_jpeg, encode_jpeg, is_jpeg
 
 MEDIA_TABLE_SCHEMA = T.StructType(
     [
@@ -442,11 +446,11 @@ def _decode_fake(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real decode: PPM (P6) / PNG images, WAV (16-bit PCM) audio
-    (width/height null, n_frames = samples, features = per-channel
-    [mean, rms]), Y4M (C420) video (features = plane means); remaining
-    formats (JPEG/MP3/MP4) need codec libs this container lacks ->
-    NotImplementedError."""
+    """Real decode: PPM (P6) / PNG / baseline JPEG images, WAV (16-bit
+    PCM) audio (width/height null, n_frames = samples, features =
+    per-channel [mean, rms]), Y4M (C420) video (features = plane
+    means); remaining formats (MP3/MP4/progressive JPEG) need codec
+    libs this container lacks -> NotImplementedError."""
     out = []
     for ref, kind, payload in zip(pdf["media_ref"], pdf["kind"], pdf["payload"]):
         if kind == "image" and is_ppm(payload):
@@ -454,6 +458,9 @@ def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
             out.append((ref, kind, w, h, 1, _ppm_features(arr)))
         elif kind == "image" and is_png(payload):
             w, h, arr = _parse_png(payload)
+            out.append((ref, kind, w, h, 1, _ppm_features(arr)))
+        elif kind == "image" and is_jpeg(payload):
+            w, h, arr = _parse_jpeg(payload)
             out.append((ref, kind, w, h, 1, _ppm_features(arr)))
         elif kind == "audio" and is_wav(payload):
             _rate, _ch, samples = _parse_wav(payload)
@@ -464,9 +471,9 @@ def _decode_real(pdf: pd.DataFrame) -> pd.DataFrame:
         else:
             raise NotImplementedError(
                 f"real decode for media_ref={ref!r} ({kind}): PPM (P6), "
-                "non-interlaced 8-bit RGB/RGBA PNG, 16-bit PCM WAV and "
-                "C420 Y4M decode without codec libs; pass fake=True for "
-                "the deterministic stub decoder"
+                "non-interlaced 8-bit RGB/RGBA PNG, baseline JPEG, "
+                "16-bit PCM WAV and C420 Y4M decode without codec libs; "
+                "pass fake=True for the deterministic stub decoder"
             )
     return pd.DataFrame(
         out, columns=["media_ref", "kind", "width", "height", "n_frames", "features"]
@@ -544,12 +551,15 @@ def resize_media(
                 elif is_png(payload):
                     _, _, arr = _parse_png(payload)
                     body = encode_png(_resize_ppm(arr, int(nw), int(nh)))
+                elif is_jpeg(payload):
+                    _, _, arr = _parse_jpeg(payload)
+                    body = encode_jpeg(_resize_ppm(arr, int(nw), int(nh)))
                 else:
                     raise NotImplementedError(
                         f"real resample for media_ref={ref!r}: only PPM "
-                        "(P6) and non-interlaced 8-bit RGB/RGBA PNG "
-                        "resample without codec libs; pass fake=True for "
-                        "the deterministic stub"
+                        "(P6), non-interlaced 8-bit RGB/RGBA PNG and "
+                        "baseline JPEG resample without codec libs; pass "
+                        "fake=True for the deterministic stub"
                     )
                 out.append((ref, int(nw), int(nh), body))
             yield pd.DataFrame(
