@@ -115,6 +115,14 @@ def run_bench(cores: int | None = None, replicate: int | None = None) -> dict:
         )
         timed("q_degree", lambda: degree(edges).count())
 
+        # graph analytics (round 5): triangle census + 5-iteration
+        # integer PageRank — the heaviest multi-join consumers, timed
+        # on the same partitioned tables as the other queries
+        from ummon_spark.operators.graphstats import pagerank, triangle_counts
+
+        timed("q_triangles", lambda: triangle_counts(edges).count())
+        timed("q_pagerank", lambda: pagerank(nodes, edges).count())
+
         # bucketed-layout variant: nodes bucketBy(id) / edges
         # bucketBy(subj), same count — the BFS root round (id==subj)
         # plans with NO Exchange on either side and every later frontier
