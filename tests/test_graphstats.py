@@ -248,3 +248,35 @@ def test_bm25_empty_and_unknown_terms(spark):
     out = bm25_topk(docs, ["B", "b", ""], k=5)  # dedup + lowercase + drop empty
     assert out.count() == 2
     assert out.schema["score"].dataType.typeName() == "long"
+
+
+def test_hll_estimate_accuracy(spark):
+    """HLL at p=10 has ~3.3% std error; assert within 10% at three
+    scales (the smallest goes through the linear-counting branch)."""
+    from ummon_spark.datapipe.sketches import hll_estimate, hll_registers
+
+    for n in (100, 5_000, 80_000):
+        df = spark.range(n).selectExpr("concat('v', id) AS v")
+        est = hll_estimate(hll_registers(df, "v").collect())
+        assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_hll_registers_dedupe_null_and_union(spark):
+    """Registers ignore nulls, are insensitive to duplication, and the
+    union sketch equals the pairwise register MAX of the part sketches
+    (the mergeability that makes HLL shuffle-free to combine)."""
+    from ummon_spark.datapipe.sketches import hll_registers
+
+    a = spark.range(500).selectExpr("concat('a', id) AS v")
+    b = spark.range(300).selectExpr("concat('b', id) AS v")
+    dup = a.union(a).union(spark.createDataFrame([(None,)], "v string"))
+    assert sorted(map(tuple, hll_registers(dup, "v").collect())) == sorted(
+        map(tuple, hll_registers(a, "v").collect())
+    )
+    both = sorted(map(tuple, hll_registers(a.union(b), "v").collect()))
+    ra = dict(map(tuple, hll_registers(a, "v").collect()))
+    rb = dict(map(tuple, hll_registers(b, "v").collect()))
+    merged = sorted(
+        (k, max(ra.get(k, 0), rb.get(k, 0))) for k in set(ra) | set(rb)
+    )
+    assert both == merged

@@ -435,6 +435,12 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), list(BM25_QUERY))
 
 
+def q_hll(spark, sf_dir):
+    from .datapipe.sketches import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir), "text")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -472,12 +478,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_shuffle_split": q_shuffle_split,
     "dp_line_dedup": q_line_dedup,
     "dp_bm25": q_bm25,
+    "dp_hll": q_hll,
 }
 
 
 # --- oracle SQL ------------------------------------------------------------
 
 from .datapipe.retrieval import bm25_oracle_sql  # noqa: E402
+from .datapipe.sketches import hll_registers_sql  # noqa: E402
 from .datapipe.textstats import LANGS, STOPWORDS  # noqa: E402
 
 TOKENS_CTE = """
@@ -1264,6 +1272,7 @@ FROM pko""",
     "dp_shuffle_split": _shuffle_split_oracle(),
     "dp_line_dedup": _line_dedup_oracle(),
     "dp_bm25": bm25_oracle_sql(list(BM25_QUERY)),
+    "dp_hll": hll_registers_sql("text", "documents"),
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -117,6 +117,7 @@ FAMILIES: dict[str, str] = {
     "kg_common_neighbors": "graph-stats",
     "kg_pagerank": "graph-stats",
     "dp_bm25": "retrieval",
+    "dp_hll": "sketch",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -167,6 +168,10 @@ STAGED: dict[str, str] = {
     "damping, floor-div contributions): one score-vs-edges join + one "
     "map-side-combinable sum per iteration, lineage cut per round; "
     "oracle = the recurrence unrolled into chained CTEs",
+    "dp_hll": "HyperLogLog distinct sketch over md5 (60-bit hash, "
+    "bin()-derived ranks): ONE agg of <= 2^p register rows whatever "
+    "the input size; registers bigint-exact, estimate driver-side "
+    "over <= 1024 collected rows",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
