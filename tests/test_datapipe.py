@@ -1042,6 +1042,42 @@ def test_jpeg_codec_roundtrip_properties():
         _parse_jpeg(bytes(prog))
 
 
+def test_jpeg_codec_property_random_images():
+    """Property: ANY small uint8 RGB image round-trips through the
+    codec with bounded loss at quality 95, at both samplings, for odd
+    and even dims (exercises edge padding)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ummon_spark.datapipe.jpeg import _parse_jpeg, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.booleans(),
+    )
+    def check(w, h, seed, sub):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        dw, dh, dec = _parse_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert (dw, dh) == (w, h)
+        # quality-95 luma error stays modest even on noise; chroma
+        # subsampling on random noise is the worst case -> wide bound
+        err = np.abs(dec.astype(int) - img.astype(int))
+        y_err = np.abs(
+            (0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2])
+            - (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        )
+        assert float(y_err.mean()) < 12.0
+        if not sub:
+            assert float(err.mean()) < 20.0
+
+    check()
+
+
 def test_multimodal_real_jpeg_decode_and_resize(spark):
     """Baseline JPEG payloads flow through the REAL decode_media and
     resize_media paths: dims/features from decoded pixels, resize
