@@ -80,8 +80,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedge join linear-ish on power-law graphs where a naive neighbor
     self-join explodes on hubs.
     """
-    und = undirected_simple(edges)
-    deg = _undirected_degree(und)
+    # und feeds three plan branches (degree, orientation, closing-edge
+    # probe) and deg two — lazy localCheckpoint materializes each ONCE
+    # instead of re-running the distinct/agg per branch (plan audit
+    # showed 38 exchanges without it)
+    und = undirected_simple(edges).localCheckpoint(eager=False)
+    deg = _undirected_degree(und).localCheckpoint(eager=False)
 
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
@@ -134,8 +138,10 @@ def common_neighbors(
     Already-adjacent pairs are anti-joined out: the operator proposes
     NEW edges, it doesn't re-score existing ones.
     """
-    und = undirected_simple(edges)
-    deg = _undirected_degree(und)
+    # same reuse story as triangle_counts: und feeds the neighbor
+    # lists, the anti-join and (via deg) the Jaccard denominator
+    und = undirected_simple(edges).localCheckpoint(eager=False)
+    deg = _undirected_degree(und).localCheckpoint(eager=False)
 
     nbrs = und.select(
         F.col("a").alias("center"), F.col("b").alias("nbr")
