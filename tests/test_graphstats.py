@@ -250,6 +250,39 @@ def test_bm25_empty_and_unknown_terms(spark):
     assert out.schema["score"].dataType.typeName() == "long"
 
 
+def test_analytics_job_end_to_end(spark, tmp_path):
+    """jobs/analytics_job.py over a tiny materialized graph writes all
+    four analytics tables; pagerank/triangles agree with direct calls."""
+    import sys
+
+    from ummon_spark.corpus import load_spans
+    from ummon_spark.operators.graphstats import pagerank
+    from ummon_spark.pipeline import build_graph, materialize
+
+    from conftest import REPO, SF_SMOKE
+
+    sys.path.insert(0, f"{REPO}/jobs")
+    import analytics_job
+
+    g = build_graph(load_spans(spark, SF_SMOKE), persist=True)
+    gdir = str(tmp_path / "graph")
+    materialize(g, gdir)
+    out = str(tmp_path / "analytics")
+    summary = analytics_job.main(["--graph", gdir, "--output", out,
+                                  "--pagerank-iters", "3"])
+    assert set(summary["timings"]) == {
+        "degree", "pagerank", "triangles", "predicted_links"
+    }
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{out}/pagerank").collect())
+    )
+    nodes = spark.read.parquet(f"{gdir}/nodes")
+    edges = spark.read.parquet(f"{gdir}/edges")
+    assert got == sorted(map(tuple, pagerank(nodes, edges, n_iters=3).collect()))
+    assert spark.read.parquet(f"{out}/predicted_links").count() == 100
+    assert spark.read.parquet(f"{out}/triangles").count() > 0
+
+
 def test_hll_estimate_accuracy(spark):
     """HLL at p=10 has ~3.3% std error; assert within 10% at three
     scales (the smallest goes through the linear-counting branch)."""

@@ -75,3 +75,43 @@ def test_dedup_admission_stream(spark, tmp_path):
 
     run_dedup_admission(spark, str(in_dir), out_dir, ckpt)  # replay no-op
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_hll_ingest_stream(spark, tmp_path):
+    """Streaming HLL: after two micro-batches the register table
+    equals the batch sketch over the union of all arrived rows, and
+    the driver-side estimate tracks the true distinct count. Replay
+    with no new files is a no-op (MAX-merge idempotence)."""
+    from ummon_spark.datapipe.sketches import hll_estimate, hll_registers
+    from ummon_spark.streaming import read_hll_registers, run_hll_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "hll_out")
+    ckpt = str(tmp_path / "hll_ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    f1 = [(i, f"text number {i}", "en", "s", 10) for i in range(300)]
+    # overlap: 100 repeats of batch-1 texts + 200 fresh
+    f2 = [(1000 + i, f"text number {i}", "en", "s", 10) for i in range(100)]
+    f2 += [(2000 + i, f"fresh {i}", "en", "s", 7) for i in range(200)]
+    import glob
+    import shutil
+
+    for name, rows in (("a", f1), ("b", f2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_dir / f"{name}_dir")
+        )
+        part = glob.glob(str(in_dir / f"{name}_dir" / "part-*.parquet"))[0]
+        shutil.move(part, str(in_dir / f"{name}.parquet"))
+        shutil.rmtree(str(in_dir / f"{name}_dir"))
+
+    run_hll_ingest(spark, str(in_dir), out_dir, ckpt)
+    streamed = sorted(map(tuple, read_hll_registers(spark, out_dir).collect()))
+    all_rows = spark.createDataFrame(f1 + f2, schema)
+    batch = sorted(map(tuple, hll_registers(all_rows, "text").collect()))
+    assert streamed == batch
+    est = hll_estimate(streamed)
+    assert abs(est - 500) / 500 < 0.15  # 300 + 200 fresh distinct texts
+
+    run_hll_ingest(spark, str(in_dir), out_dir, ckpt)  # replay no-op
+    assert sorted(map(tuple, read_hll_registers(spark, out_dir).collect())) == batch

@@ -177,3 +177,77 @@ def run_dedup_admission(
     if block:
         q.awaitTermination()
     return q
+
+
+def run_hll_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    block: bool = True,
+):
+    """Continuous distinct-count sketching: each micro-batch's HLL
+    registers (datapipe.sketches) merge into the running register
+    table by pairwise MAX — the streaming twin of hll_registers.
+
+    MAX-merge makes replays naturally idempotent (merging a batch
+    twice is a no-op), so exactly-once here needs only the streaming
+    checkpoint for source progress; the state is <= 2^p rows however
+    much data has streamed, rewritten atomically per batch (write to
+    a versioned subdir, then repoint via the tiny _current marker —
+    readers never observe a half-written table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .datapipe.sketches import hll_registers
+
+    state_dir = os.path.join(output_dir, "registers")
+
+    def _read_current():
+        marker = os.path.join(output_dir, "_current")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return os.path.join(state_dir, f.read().strip())
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        regs = hll_registers(batch_df, "text")
+        current = _read_current()
+        if current is not None:
+            prev = spark.read.parquet(current)
+            regs = (
+                regs.unionByName(prev)
+                .groupBy("register")
+                .agg(F.max("max_rank").alias("max_rank"))
+            )
+        new_path = os.path.join(state_dir, f"v{batch_id}")
+        regs.coalesce(1).write.mode("overwrite").parquet(new_path)
+        with open(os.path.join(output_dir, "_current"), "w") as f:
+            f.write(f"v{batch_id}")
+
+    os.makedirs(output_dir, exist_ok=True)
+    q = (
+        spark.readStream.schema(FLAT_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if block:
+        q.awaitTermination()
+    return q
+
+
+def read_hll_registers(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The current register table written by run_hll_ingest."""
+    import os
+
+    marker = os.path.join(output_dir, "_current")
+    with open(marker) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(output_dir, "registers", version))
