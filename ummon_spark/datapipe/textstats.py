@@ -438,3 +438,44 @@ def scrub_documents(documents: DataFrame) -> DataFrame:
     for _, pat, repl in SCRUB_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return documents.withColumn("text", scrubbed)
+
+
+NORMALIZE_FORM = "NFC"
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, changed): Unicode NFC normalization — the
+    canonical-composition cleaning step a multilingual corpus needs
+    before hashing/dedup (the same logical text arrives both composed
+    and decomposed from different sources and would otherwise dedupe
+    as distinct).
+
+    Spark has no NFC builtin, so this is a deliberate Arrow
+    `mapInPandas` stage (the documented slow-path policy: Python only
+    where the JVM genuinely lacks the operator) over Python's
+    unicodedata — which implements the same Unicode canonical
+    composition as the DuckDB oracle's `nfc_normalize` (verified
+    equal on combining sequences). Narrow input projection, no
+    shuffle; at 100 TB this is a map-only pass whose cost is the
+    Arrow transfer of the text column.
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            norm = pdf["text"].map(
+                lambda t: unicodedata.normalize(NORMALIZE_FORM, t)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm_text": norm,
+                    "changed": norm != pdf["text"],
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(run, "doc_id string, norm_text string, changed boolean")

@@ -441,6 +441,34 @@ def q_hll(spark, sf_dir):
     return hll_registers(_docs(spark, sf_dir), "text")
 
 
+# NFC gate: corpus text is ASCII (normalization is identity there), so
+# plant rows with decomposed combining sequences — 'e'+U+0301 and
+# 'A'+U+030A compose to é / Å under NFC
+N_PLANTED_NORM = 5
+
+
+def _norm_planted(docs):
+    from pyspark.sql import functions as F
+
+    return docs.filter(F.col("doc_id").cast("bigint") < N_PLANTED_NORM).select(
+        F.concat(F.lit("norm::"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(
+            F.lit("café "), F.col("text"), F.lit(" Åend")
+        ).alias("text"),
+    )
+
+
+def q_normalize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .datapipe.textstats import normalize_text
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return normalize_text(docs.unionByName(_norm_planted(docs)))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_doc_hashes": q_doc_hashes,
     "dp_exact_dupes": q_exact_dupes,
@@ -479,6 +507,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_line_dedup": q_line_dedup,
     "dp_bm25": q_bm25,
     "dp_hll": q_hll,
+    "dp_normalize": q_normalize,
 }
 
 
@@ -1273,6 +1302,16 @@ FROM pko""",
     "dp_line_dedup": _line_dedup_oracle(),
     "dp_bm25": bm25_oracle_sql(list(BM25_QUERY)),
     "dp_hll": hll_registers_sql("text", "documents"),
+    "dp_normalize": f"""WITH nrm_base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'norm::' || CAST(doc_id AS VARCHAR),
+         'cafe' || chr(769) || ' ' || text || ' A' || chr(778) || 'end'
+  FROM documents WHERE doc_id < {N_PLANTED_NORM}
+)
+SELECT doc_id, nfc_normalize(text) AS norm_text,
+       nfc_normalize(text) <> text AS changed
+FROM nrm_base""",
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

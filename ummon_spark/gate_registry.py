@@ -118,6 +118,7 @@ FAMILIES: dict[str, str] = {
     "kg_pagerank": "graph-stats",
     "dp_bm25": "retrieval",
     "dp_hll": "sketch",
+    "dp_normalize": "normalize",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -172,6 +173,10 @@ STAGED: dict[str, str] = {
     "bin()-derived ranks): ONE agg of <= 2^p register rows whatever "
     "the input size; registers bigint-exact, estimate driver-side "
     "over <= 1024 collected rows",
+    "dp_normalize": "Unicode NFC normalization (Arrow mapInPandas — "
+    "Spark has no NFC builtin; the documented slow-path policy): "
+    "map-only pass, planted decomposed combining sequences; oracle = "
+    "DuckDB nfc_normalize",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
