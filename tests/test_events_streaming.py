@@ -93,3 +93,39 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert streamed == expected
     assert expected, "corpus must contain closed sessions for the test to bite"
+
+
+def test_asof_join_semantics(spark):
+    """Hand-checked as-of semantics: inclusive <= at equal timestamps,
+    null when nothing precedes, latest-preceding wins, ties inside the
+    right side resolve to max tie_col."""
+    from datetime import datetime
+
+    from ummon_spark.events import asof_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(10)), (102, 1, t(1)), (103, 2, t(7))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(2), 10, 1.0),
+            (1, t(5), 11, 2.0),   # equal ts as left 100 -> inclusive match
+            (1, t(5), 12, 3.0),   # same (user, ts): max event_id (12) wins
+            (1, t(9), 13, 4.0),
+            (2, t(8), 14, 5.0),   # after left 103 -> no match for user 2
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(left, right, right_cols=("event_id", "value")).collect()
+    }
+    assert got[100] == (12, 3.0)      # inclusive + in-tie max event_id
+    assert got[101] == (13, 4.0)      # latest preceding
+    assert got[102] == (None, None)   # nothing precedes t=1
+    assert got[103] == (None, None)   # user 2's only click is later
+    assert len(got) == 4              # every left row kept (left-join)

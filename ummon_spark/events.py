@@ -261,3 +261,61 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """As-of join: every left row paired with the LATEST right row at
+    or before its timestamp, per key — `matched_{c}` columns (null
+    when no right row precedes). The classic enrichment join Spark has
+    no builtin for (and the one the driver prompt calls out); DuckDB's
+    native ASOF JOIN is the oracle.
+
+    Spark-first shape: tag both sides, union, and run ONE per-key
+    window pass ordered by (ts, tag) carrying the last non-null right
+    payload forward (`F.last(ignorenulls=True)` over unbounded
+    preceding) — right rows sort before left rows at equal timestamps,
+    giving the inclusive <= semantics. One shuffle on the key, no
+    range-join blowup: cost is the merge-sort of each key's combined
+    event history, exactly how a 1000-executor cluster wants it (hash
+    by key, sort within partition — both sides co-partitioned by the
+    SAME exchange). Right rows are first deduped to one per (key, ts)
+    by max `tie_col` so the match is deterministic under ties.
+    """
+    from pyspark.sql import Window
+
+    w_dedup = Window.partitionBy(key, ts_col).orderBy(F.col(tie_col).desc())
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rtag = r.select(
+        key,
+        ts_col,
+        F.lit(0).alias("_q"),
+        *[F.col(c).alias(f"matched_{c}") for c in right_cols],
+    )
+    ltag = left.withColumn("_q", F.lit(1))
+    unioned = ltag.unionByName(rtag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_q").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in ltag.columns if c != "_q"],
+        F.col("_q"),
+        *[
+            F.last(f"matched_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("_q") == 1).drop("_q")

@@ -132,6 +132,34 @@ def q_ev_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+def q_ev_asof(spark, sf_dir):
+    """Each purchase joined to the user's latest preceding click —
+    timestamps as tz-free epoch seconds, value quantized to cents
+    (the established float/NTZ parity idioms)."""
+    from pyspark.sql import functions as F
+
+    from .events import asof_join, epoch_seconds
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, right_cols=("event_id", "ts", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_seconds(F.col("ts")).cast("bigint").alias("q_ts"),
+        F.col("matched_event_id").cast("bigint").alias("matched_event_id"),
+        epoch_seconds(F.col("matched_ts")).cast("bigint").alias("matched_ts"),
+        F.round(F.col("matched_value") * 100, 0)
+        .cast("bigint")
+        .alias("matched_cents"),
+    )
+
+
 def q_dedup_survivors(spark, sf_dir):
     from .datapipe.dedup import dedup_survivors, minhash_near_duplicates
 
@@ -508,6 +536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_bm25": q_bm25,
     "dp_hll": q_hll,
     "dp_normalize": q_normalize,
+    "ev_asof": q_ev_asof,
 }
 
 
@@ -1312,6 +1341,24 @@ FROM pko""",
 SELECT doc_id, nfc_normalize(text) AS norm_text,
        nfc_normalize(text) <> text AS changed
 FROM nrm_base""",
+    # native ASOF JOIN cross-checks the Spark union-window derivation;
+    # right side pre-deduped per (user, ts) by max event_id for
+    # deterministic tie handling on both sides
+    "ev_asof": """WITH aor AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+aor1 AS (SELECT user_id, ts, event_id, value FROM aor WHERE rn = 1),
+aol AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT aol.event_id, aol.user_id,
+       CAST(floor(epoch(aol.ts)) AS BIGINT) AS q_ts,
+       CAST(aor1.event_id AS BIGINT) AS matched_event_id,
+       CAST(floor(epoch(aor1.ts)) AS BIGINT) AS matched_ts,
+       CAST(round(aor1.value * 100, 0) AS BIGINT) AS matched_cents
+FROM aol ASOF LEFT JOIN aor1
+  ON aol.user_id = aor1.user_id AND aol.ts >= aor1.ts""",
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -119,6 +119,7 @@ FAMILIES: dict[str, str] = {
     "dp_bm25": "retrieval",
     "dp_hll": "sketch",
     "dp_normalize": "normalize",
+    "ev_asof": "asof-join",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -177,6 +178,10 @@ STAGED: dict[str, str] = {
     "Spark has no NFC builtin; the documented slow-path policy): "
     "map-only pass, planted decomposed combining sequences; oracle = "
     "DuckDB nfc_normalize",
+    "ev_asof": "as-of join (latest right row <= left ts per key) via "
+    "tag-union + ONE per-key ordered window — one shuffle, both sides "
+    "co-partitioned by the same exchange, no range-join blowup; "
+    "oracle = DuckDB's native ASOF JOIN (independent derivation)",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
