@@ -479,3 +479,56 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     ).mapInPandas(run, "doc_id string, norm_text string, changed boolean")
+
+
+RARITY_SCALE = 1_000_000
+
+
+def rarity_scores(documents: DataFrame, scale: int = RARITY_SCALE) -> DataFrame:
+    """(doc_id, n_tokens, rarity_score): mean inverse corpus frequency
+    of a document's tokens — the integer-exact stand-in for unigram
+    perplexity as a quality-filter signal (documents dominated by
+    corpus-rare tokens score high: boilerplate scores low, gibberish
+    and OCR noise score very high; filter both tails).
+
+    rarity(token) = floor(scale * A / count(token)) with A = total
+    corpus tokens; rarity_score = floor(sum(rarity) / n_tokens) — all
+    bigint, so Spark and DuckDB agree exactly where a ln-based NLL
+    would drift by ulps (same design as tfidf/BM25). A true geometric
+    mean needs ln; the arithmetic mean of 1/p is a monotone-enough
+    proxy for FILTERING (both tails are extremes in either metric) and
+    stays exact.
+
+    Scale shape: one (doc_id, term) tf agg, one corpus term-count agg,
+    one term-keyed join of the (tiny relative to the corpus) term
+    table back onto tf — the same skew profile as tf-idf, handled by
+    AQE skew-join — then one per-doc sum. A is a driver-side scalar.
+    Overflow: sum(rarity) <= n_tokens * scale * A; at scale=1e6 and
+    A=1e12 the per-doc sum bound is n_tokens * 1e18 only if a doc is
+    ALL hapaxes — real corpora sit orders below; drop `scale` a decade
+    per decade of corpus beyond that (parameter, like BM25's).
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    terms = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(toks).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tc = terms.groupBy("term").agg(F.count("*").alias("tc"))
+    total = terms.count()
+    return (
+        tf.join(tc, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("tf")
+                * F.expr(f"CAST({scale} AS BIGINT) * {total} DIV tc")
+            ).alias("_rsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_rsum DIV n_tokens").cast("bigint").alias("rarity_score"),
+        )
+    )

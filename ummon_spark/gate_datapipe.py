@@ -132,6 +132,12 @@ def q_ev_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+def q_rarity(spark, sf_dir):
+    from .datapipe.textstats import rarity_scores
+
+    return rarity_scores(_docs(spark, sf_dir))
+
+
 def q_ev_asof(spark, sf_dir):
     """Each purchase joined to the user's latest preceding click —
     timestamps as tz-free epoch seconds, value quantized to cents
@@ -537,6 +543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_hll": q_hll,
     "dp_normalize": q_normalize,
     "ev_asof": q_ev_asof,
+    "dp_rarity": q_rarity,
 }
 
 
@@ -1359,6 +1366,21 @@ SELECT aol.event_id, aol.user_id,
        CAST(round(aor1.value * 100, 0) AS BIGINT) AS matched_cents
 FROM aol ASOF LEFT JOIN aor1
   ON aol.user_id = aor1.user_id AND aol.ts >= aor1.ts""",
+    "dp_rarity": """WITH rar_t AS (
+  SELECT doc_id, lower(t) AS term FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+rar_tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM rar_t GROUP BY 1, 2),
+rar_tc AS (SELECT term, COUNT(*) AS tc FROM rar_t GROUP BY 1),
+rar_a AS (SELECT COUNT(*) AS a FROM rar_t)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * (1000000 * (SELECT a FROM rar_a) // tc))
+            // SUM(tf) AS BIGINT) AS rarity_score
+FROM rar_tf JOIN rar_tc USING (term)
+GROUP BY doc_id""",
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -120,6 +120,7 @@ FAMILIES: dict[str, str] = {
     "dp_hll": "sketch",
     "dp_normalize": "normalize",
     "ev_asof": "asof-join",
+    "dp_rarity": "rarity",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -182,6 +183,10 @@ STAGED: dict[str, str] = {
     "tag-union + ONE per-key ordered window — one shuffle, both sides "
     "co-partitioned by the same exchange, no range-join blowup; "
     "oracle = DuckDB's native ASOF JOIN (independent derivation)",
+    "dp_rarity": "mean-inverse-corpus-frequency quality score (the "
+    "integer-exact unigram-perplexity proxy): tf agg + term-count agg "
+    "+ one term-keyed join (tf-idf's skew profile, AQE-handled), all "
+    "bigint floor-div",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
