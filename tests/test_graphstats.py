@@ -283,6 +283,60 @@ def test_analytics_job_end_to_end(spark, tmp_path):
     assert spark.read.parquet(f"{out}/triangles").count() > 0
 
 
+def test_knn_graph_exact_and_guard(spark):
+    """Exact kNN graph on a hand-built geometry: colinear vectors are
+    each other's top neighbor regardless of magnitude (cosine, not
+    dot); the quadratic guard raises above max_exact."""
+    import pytest
+
+    from ummon_spark.datapipe.similarity import knn_graph
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [10.0, 0.0, 0.0]),    # colinear with 0: cosine 1.0
+        (2, [0.0, 1.0, 0.1]),
+        (3, [0.0, 10.0, 0.9]),    # near-colinear with 2
+        (4, [-1.0, 0.0, 0.0]),    # anti-parallel to 0/1
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["src"], r["rank"]): r["nbr"]
+        for r in knn_graph(embs, k=2).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0   # cosine beats magnitude
+    assert got[(2, 1)] == 3 and got[(3, 1)] == 2
+    assert got[(4, 2)] == 4 or (4, 1) in got        # 4 ranks others last
+    # anti-parallel vector is everyone's WORST choice, never rank 1
+    assert all(got[(s, 1)] != 4 for s in (0, 1, 2, 3))
+    with pytest.raises(ValueError, match="quadratic"):
+        knn_graph(embs, k=2, max_exact=3)
+
+
+def test_knn_graph_approx_finds_planted_duplicates(spark):
+    """The banded-LSH approximate path always buckets exact duplicates
+    together (cosine 1.0 -> identical sign bits), so planted copies are
+    each other's top-1 even when random-vector recall is low."""
+    import hashlib
+
+    from ummon_spark.datapipe.similarity import knn_graph
+
+    def vec(seed, dim=16):
+        h = hashlib.md5(f"knn::{seed}".encode()).digest()
+        return [((h[i % 16] + 7 * i * seed) % 200 - 100) / 100.0 for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    rows += [(100 + i, vec(i)) for i in range(5)]  # exact copies of 0..4
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top1 = {
+        r["src"]: r["nbr"]
+        for r in knn_graph(embs, k=1, exact=False, n_bands=4,
+                           bits_per_band=8).collect()
+    }
+    for i in range(5):
+        assert top1.get(i) == 100 + i
+        assert top1.get(100 + i) == i
+
+
 def test_hll_estimate_accuracy(spark):
     """HLL at p=10 has ~3.3% std error; assert within 10% at three
     scales (the smallest goes through the linear-counting branch)."""

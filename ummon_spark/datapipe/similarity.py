@@ -502,3 +502,103 @@ def cosine_near_duplicates_banded(
         .distinct()
     )
     return _verify_cosine_pairs(cands, q, threshold_milli)
+
+
+KNN_K = 5
+KNN_MAX_EXACT = 2_000
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    exact: bool = True,
+    max_exact: int = KNN_MAX_EXACT,
+    n_bands: int | None = None,
+    bits_per_band: int | None = None,
+) -> DataFrame:
+    """(src, nbr, dot, rank): the directed k-nearest-neighbor graph
+    over the embedding table by cosine — the building block of
+    graph-based dedup/cluster pipelines (SemDeDup neighborhoods,
+    connected-component near-dup groups, kNN-classifier labeling).
+
+    Ranking is integer-exact: per source the norm |a| is constant, so
+    cosine order == order of sign(dot) * floor(dot^2 / |b|^2) — all
+    bigint (quantized vectors), no sqrt, so Spark and the DuckDB
+    oracle agree bit-for-bit. Ties break on nbr ascending. Zero-norm
+    vectors are excluded (cosine undefined). Overflow: dot^2 <=
+    (dim * quant^2)^2 — fine to dim ~1e3 at the default 1e3
+    quantization; drop the quantization scale for wider vectors.
+
+    exact=True is the verification tool: a full self-join, guarded to
+    `max_exact` vectors (quadratic — same policy as ngram_jaccard).
+    exact=False is the scale path: banded random-hyperplane LSH
+    candidates (any-band match, bucket occupancy bounded by
+    auto_plane_count's sizing), then the same per-source top-k — an
+    APPROXIMATE kNN graph whose recall grows with n_bands; each
+    source's window sees only its bucket-mates, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    q = quantized(embeddings)
+    if exact:
+        n = q.count()
+        if n > max_exact:
+            raise ValueError(
+                f"exact knn_graph is quadratic: {n} vectors > max_exact="
+                f"{max_exact}; use exact=False (banded LSH candidates)"
+            )
+        cands = (
+            q.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+            .join(
+                q.select(F.col("vec_id").alias("nbr"), F.col("q").alias("qb")),
+                F.col("src") != F.col("nbr"),
+            )
+        )
+    else:
+        if n_bands is None or bits_per_band is None:
+            n = q.count()
+            bits_per_band = bits_per_band or auto_plane_count(n)
+            n_bands = n_bands or 4
+        bands = banded_hyperplane_signs(
+            embeddings, n_bands, bits_per_band
+        )
+        pairs = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") != F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("nbr")
+            )
+            .distinct()
+        )
+        cands = (
+            pairs.join(
+                q.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")),
+                "src",
+            )
+            .join(
+                q.select(F.col("vec_id").alias("nbr"), F.col("q").alias("qb")),
+                "nbr",
+            )
+        )
+    scored = cands.select(
+        "src",
+        "nbr",
+        _dot(F.col("qa"), F.col("qb")).alias("dot"),
+        _dot(F.col("qb"), F.col("qb")).alias("nb2"),
+    ).filter(F.col("nb2") > 0)
+    rkey = F.when(
+        F.col("dot") >= 0, F.expr("(dot * dot) DIV nb2")
+    ).otherwise(-F.expr("(dot * dot) DIV nb2"))
+    w = Window.partitionBy("src").orderBy(
+        rkey.desc(), F.col("nbr").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("src", "nbr", F.col("dot").cast("bigint").alias("dot"), "rank")
+    )

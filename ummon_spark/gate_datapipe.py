@@ -132,6 +132,12 @@ def q_ev_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+def q_knn_graph(spark, sf_dir):
+    from .datapipe.similarity import knn_graph
+
+    return knn_graph(_embs(spark, sf_dir))
+
+
 def q_rarity(spark, sf_dir):
     from .datapipe.textstats import rarity_scores
 
@@ -544,6 +550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_normalize": q_normalize,
     "ev_asof": q_ev_asof,
     "dp_rarity": q_rarity,
+    "dp_knn_graph": q_knn_graph,
 }
 
 
@@ -1381,6 +1388,27 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
             // SUM(tf) AS BIGINT) AS rarity_score
 FROM rar_tf JOIN rar_tc USING (term)
 GROUP BY doc_id""",
+    # exact kNN graph: cosine order per source == sign(dot)*dot^2//nb2
+    # order (|a| constant per src) — all bigint, no sqrt
+    "dp_knn_graph": f"""WITH {_Q_CTE.strip()},
+knp AS (
+  SELECT x.vec_id AS src, y.vec_id AS nbr,
+         {_dot_sql('x.q', 'y.q')} AS dot,
+         {_dot_sql('y.q', 'y.q')} AS nb2
+  FROM qv x JOIN qv y ON x.vec_id <> y.vec_id
+),
+knk AS (
+  SELECT src, nbr, dot,
+         CASE WHEN dot >= 0 THEN (dot * dot) // nb2
+              ELSE -((dot * dot) // nb2) END AS rkey
+  FROM knp WHERE nb2 > 0
+)
+SELECT src, nbr, CAST(dot AS BIGINT) AS dot, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY rkey DESC, nbr ASC) AS rnk
+  FROM knk
+) WHERE rnk <= 5""",
     "dp_top_ngrams": """WITH ntoks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
   FROM documents

@@ -121,6 +121,7 @@ FAMILIES: dict[str, str] = {
     "dp_normalize": "normalize",
     "ev_asof": "asof-join",
     "dp_rarity": "rarity",
+    "dp_knn_graph": "knn-graph",
 }
 
 # Brand-new round-5 operators, parked PAST the cap for one round:
@@ -187,6 +188,11 @@ STAGED: dict[str, str] = {
     "integer-exact unigram-perplexity proxy): tf agg + term-count agg "
     "+ one term-keyed join (tf-idf's skew profile, AQE-handled), all "
     "bigint floor-div",
+    "dp_knn_graph": "directed kNN graph by cosine, integer-exact rank "
+    "key sign(dot)*dot^2 DIV |b|^2 (no sqrt): exact self-join guarded "
+    "to 2k vectors (the verification tool); scale path = banded-LSH "
+    "candidates + the same per-source top-k, window sees bucket-mates "
+    "only",
 }
 
 # Past-cap gates, in tail order: name -> (in-window subsumers, rationale).
