@@ -1215,3 +1215,62 @@ def test_multimodal_real_y4m_decode_and_frame_extract(spark):
     _, _, arr1 = _parse_ppm(all_frames[1]["payload"])
     assert arr1[:, :, 0].mean() > arr1[:, :, 1].mean()
     assert arr1[:, :, 0].mean() > arr1[:, :, 2].mean()
+
+
+def test_prefix_sum_offsets_broadcast_join_not_case_chain(spark):
+    """The per-partition offsets of the two-phase prefix sum must attach
+    via a broadcast join on _pid — NOT the O(P) when/otherwise chain
+    (a 256-branch CASE expression tree falls out of codegen and costs
+    O(N*P) interpreted work at 100 TB partition counts)."""
+    from ummon_spark.datapipe.packing import _exclusive_prefix_sum
+
+    rows = [(i, 1 + i % 5) for i in range(600)]
+    df = spark.createDataFrame(rows, "_k long, w long")
+    out = _exclusive_prefix_sum(df, "_k", "w", 256, "off")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "_pid" in plan
+    # no CASE branch per partition: the old shape had one `WHEN (_pid = k)`
+    # per partition id
+    assert plan.count("WHEN (_pid") == 0
+    # and the numbers are still the exclusive prefix sum in key order
+    got = {r["_k"]: r["off"] for r in out.collect()}
+    acc = 0
+    for i in range(600):
+        assert got[i] == acc
+        acc += 1 + i % 5
+
+
+def test_bm25_tf_fraction_survives_int64_overflow(spark):
+    """The tf-fraction numerator TF_SCALE*44*A*tf is computed in
+    DECIMAL(38,0): with a TF_SCALE large enough that the bigint product
+    would wrap past 2^63, scores must still equal exact integer
+    arithmetic (the pre-fix plan returned wrapped garbage here)."""
+    from ummon_spark.datapipe.retrieval import bm25_topk
+
+    rows = [
+        (i, " ".join(["filler"] * (10 + i)) + " target" * (1 + i % 3))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idf_scale, tf_scale = 100, 10**16
+
+    # exact integer reference
+    docs = {str(i): ("filler " * (10 + i) + "target " * (1 + i % 3)).split() for i in range(8)}
+    n = len(docs)
+    a = sum(len(t) for t in docs.values())
+    tf = {d: toks.count("target") for d, toks in docs.items()}
+    df_t = sum(1 for v in tf.values() if v > 0)
+    idf = (2 * n - 2 * df_t + 1) * idf_scale // (2 * df_t + 1)
+    expect = {}
+    for d, toks in docs.items():
+        if tf[d] == 0:
+            continue
+        dl = len(toks)
+        frac = tf_scale * 44 * a * tf[d] // (20 * a * tf[d] + 6 * a + 18 * n * dl)
+        assert tf_scale * 44 * a * tf[d] > 2**63, "test must exercise the overflow regime"
+        expect[d] = idf * frac
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, ["target"], k=8, idf_scale=idf_scale, tf_scale=tf_scale).collect()
+    }
+    assert got == expect

@@ -129,3 +129,33 @@ def test_asof_join_semantics(spark):
     assert got[102] == (None, None)   # nothing precedes t=1
     assert got[103] == (None, None)   # user 2's only click is later
     assert len(got) == 4              # every left row kept (left-join)
+
+
+def test_asof_join_null_right_payload_not_torn(spark):
+    """All matched_* columns must come from the SAME (latest preceding)
+    right row: when that row carries a NULL payload column, the null is
+    kept — not back-filled from an older right row (the torn-match bug
+    of independent per-column last(ignorenulls) windows)."""
+    from datetime import datetime
+
+    from ummon_spark.events import asof_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(200, 1, t(6)), (201, 1, t(3))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2), 10, 7.0), (1, t(5), 11, None)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(left, right, right_cols=("event_id", "value")).collect()
+    }
+    # latest preceding row for t=6 is (11, NULL): value must be NULL,
+    # not 7.0 torn from the older (10, 7.0) row
+    assert got[200] == (11, None)
+    assert got[201] == (10, 7.0)

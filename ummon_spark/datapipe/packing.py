@@ -25,7 +25,7 @@ P parallel sorts + one P-row driver hop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import token_hash
@@ -48,6 +48,12 @@ def _exclusive_prefix_sum(
     partitioner cut the key space."""
     spark = df.sparkSession
     n_part = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    # the persist is load-bearing for CORRECTNESS, not just speed:
+    # repartitionByRange samples the key space to pick boundaries, so an
+    # uncached re-execution could cut partitions differently and attach
+    # the collected offsets to the wrong _pid. It stays cached for the
+    # lifetime of the returned (lazily consumed) DataFrame and is
+    # released by the ContextCleaner when the caller drops it.
     parted = (
         df.repartitionByRange(n_part, F.col(order_key))
         .sortWithinPartitions(order_key)
@@ -59,16 +65,27 @@ def _exclusive_prefix_sum(
         r["_pid"]: r["t"]
         for r in parted.groupBy("_pid").agg(F.sum(weight).alias("t")).collect()
     }
-    offset_col: Column = F.lit(0).cast("bigint")
+    # r6 (guide §5 / VERDICT r5): the offsets attach via a BROADCAST
+    # JOIN on _pid instead of a P-branch CASE expression — the old
+    # when/otherwise chain was an O(P)-deep expression tree, i.e.
+    # O(N*P) interpreted work once P outgrows codegen limits
+    # (P ~ 10^4-10^5 at 100 TB); the P-row broadcast join is O(N).
     acc = 0
+    rows = []
     for pid in sorted(totals):
-        offset_col = F.when(
-            F.col("_pid") == pid, F.lit(acc).cast("bigint")
-        ).otherwise(offset_col)
+        rows.append((pid, acc))
         acc += totals[pid]
+    offsets = spark.createDataFrame(rows or [(0, 0)], "_pid int, _poff bigint")
     w = Window.partitionBy("_pid").orderBy(order_key)
-    return parted.withColumn(
-        out, offset_col + F.sum(weight).over(w) - F.col(weight)
+    return (
+        parted.join(F.broadcast(offsets), "_pid", "left")
+        .withColumn(
+            out,
+            F.coalesce(F.col("_poff"), F.lit(0).cast("bigint"))
+            + F.sum(weight).over(w)
+            - F.col(weight),
+        )
+        .drop("_poff")
     )
 
 

@@ -28,7 +28,12 @@ Overflow headroom: idf_int <= 2*N*IDF_SCALE and tf_frac <=
 N * IDF_SCALE * TF_SCALE < ~4e17 — at the defaults (1e4 * 1e6) that is
 N <= ~4e7 docs; beyond that drop IDF_SCALE one decade per decade of
 corpus (both are parameters). A and tf cancel out of the bound: the
-tf fraction is <= (k1+1) * TF_SCALE by construction.
+tf fraction is <= (k1+1) * TF_SCALE by construction. The tf-fraction
+INTERMEDIATES do not cancel, though — the numerator TF_SCALE*44*A*tf
+passes 2^63 once A*tf > ~2e11 (A ~ 1e12 overflows at tf = 1) and the
+denominator's 20*A*tf term follows two decades later — so both sides
+of that DIV are computed in DECIMAL(38,0) (headroom ~1e38; quotient
+back to bigint), identical to bigint arithmetic wherever it fits.
 
 Scale shape: one (doc_id, term) hash agg restricted to the query terms
 (the term filter is pushed below the agg — the scan only keeps
@@ -95,10 +100,20 @@ def bm25_topk(
                     f"(CAST({2 * n_docs} AS BIGINT) - 2*df + 1) * {idf_scale}"
                     " DIV (2*df + 1)"
                 )
+                # the numerator TF_SCALE*44*A*tf (and, at extreme
+                # corpus sizes, the denominator's 20*A*tf term) can
+                # exceed int64 — A ~ 1e12 tokens overflows at tf = 1,
+                # where non-ANSI Spark would wrap silently into wrong
+                # rankings (ADVICE r5). Both sides therefore compute in
+                # DECIMAL(38,0): headroom to ~1e38, bit-identical to
+                # the bigint path wherever that path didn't overflow
+                # (the quotient itself is bounded by 2.2*TF_SCALE), and
+                # DIV (IntegralDivide) returns bigint for decimals too.
                 * F.expr(
-                    f"CAST({tf_scale} AS BIGINT) * 44 * {total} * tf"
-                    f" DIV (20 * {total} * tf + 6 * {total}"
-                    f" + 18 * {n_docs} * dl)"
+                    f"CAST({tf_scale} AS DECIMAL(38,0)) * 44 * {total} * tf"
+                    f" DIV (CAST(20 AS DECIMAL(38,0)) * {total} * tf"
+                    f" + CAST(6 AS DECIMAL(38,0)) * {total}"
+                    f" + CAST(18 AS DECIMAL(38,0)) * {n_docs} * dl)"
                 )
             ).alias("s"),
         )

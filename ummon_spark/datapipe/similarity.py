@@ -206,6 +206,10 @@ def lsh_topk_cosine(
     bucket-local scan bounded at 10^9+ vectors."""
     if n_planes is None:
         n_planes = auto_plane_count(embeddings.count())
+    # persisted for the lifetime of the returned (lazy) result, which
+    # reads it twice (query row + candidate scan); released by the
+    # ContextCleaner when the caller drops the frame — an in-operator
+    # unpersist would force the signing pass to run twice instead.
     signed = hyperplane_signs(embeddings, n_planes, dim=dim).persist()
     qrow = signed.filter(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq"), F.col("bucket").alias("qb")
@@ -314,6 +318,8 @@ def ivf_topk_cosine(
     n_centroids=None scales C ~ sqrt(n)."""
     if n_centroids is None:
         n_centroids = auto_centroid_count(embeddings.count())
+    # persisted for the returned result's lifetime (read three times:
+    # query row, centroid slice, candidate scan); see lsh_topk_cosine.
     assigned = ivf_assignments(embeddings, n_centroids).persist()
     qrow = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq")
@@ -387,6 +393,9 @@ def kmeans_clusters(
     k ~ n/1024 so downstream within-cluster scans stay bounded."""
     q = quantized(embeddings)
     if iters > 0:
+        # persisted for the returned result's lifetime: every Lloyd
+        # iteration and the final assignment re-read q; see
+        # lsh_topk_cosine for the release story.
         q = q.persist()
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")

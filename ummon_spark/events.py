@@ -300,7 +300,16 @@ def asof_join(
         key,
         ts_col,
         F.lit(0).alias("_q"),
-        *[F.col(c).alias(f"matched_{c}") for c in right_cols],
+        # ONE struct per right row: every matched_* column must come
+        # from the SAME right row — independent per-column last()
+        # windows would mix values from different right rows whenever a
+        # right payload column is null (torn match; ADVICE r5). The
+        # struct itself is never null for right rows, so last(...,
+        # ignorenulls) carries the whole latest row forward even when
+        # its payload fields are null.
+        F.struct(
+            *[F.col(c).alias(f"matched_{c}") for c in right_cols]
+        ).alias("_match"),
     )
     ltag = left.withColumn("_q", F.lit(1))
     unioned = ltag.unionByName(rtag, allowMissingColumns=True)
@@ -313,9 +322,12 @@ def asof_join(
     filled = unioned.select(
         *[c for c in ltag.columns if c != "_q"],
         F.col("_q"),
-        *[
-            F.last(f"matched_{c}", ignorenulls=True).over(w).alias(f"matched_{c}")
-            for c in right_cols
-        ],
+        F.last("_match", ignorenulls=True).over(w).alias("_m"),
     )
-    return filled.filter(F.col("_q") == 1).drop("_q")
+    return (
+        filled.filter(F.col("_q") == 1)
+        .select(
+            *[c for c in ltag.columns if c != "_q"],
+            *[F.col(f"_m.matched_{c}").alias(f"matched_{c}") for c in right_cols],
+        )
+    )

@@ -228,17 +228,21 @@ def build_edges(
     # before the shuffle exactly as a triple-keyed agg would; a
     # two-pass clean/dirty split was measured WORSE (no ReusedExchange
     # across the union branches — the candidate subtree ran twice).
+    # r6 optimization (guide §2.3 — shuffle fewer bytes): the order key
+    # and the payload are permutations of the same five columns, so
+    # min() over ONE struct ordered (doc_id, span_idx, subj, pred, obj)
+    # picks the identical winner min_by(payload, ord_key) did, while the
+    # partial-aggregated shuffle row carries each column once instead of
+    # twice (~45% fewer bytes through the build's biggest exchange).
     ord_key = F.struct(
         F.col("doc_id"), F.col("span_idx"),
         F.col("subj"), F.col("pred"), F.col("obj"),
     )
-    payload = F.struct("subj", "pred", "obj", "doc_id", "span_idx")
     with_id = checked.select(
         F.concat("subj", F.lit("->"), "obj", F.lit("::"), "pred").alias("id"),
-        payload.alias("p"),
         ord_key.alias("o"),
     )
-    final = with_id.groupBy("id").agg(F.min_by("p", F.col("o")).alias("e"))
+    final = with_id.groupBy("id").agg(F.min("o").alias("e"))
     return final.select(
         "id",
         F.col("e.subj").alias("subj"),

@@ -205,44 +205,65 @@ def pagerank(
     Dangling-node mass evaporates (the common simplification); scores
     are unnormalized importances, score0 = scale.
 
-    Scale shape: outdeg is computed once; each iteration is ONE join
-    of the score vector against the edge list (scores hash-partitioned
-    by id, edges by subj — co-partitionable via the bucketed layout)
-    plus one map-side-combinable sum by obj. n_iters is fixed and
-    small; lineage is cut per round with localCheckpoint like the CC
-    fixpoint. Overflow: total mass <= n_nodes * scale, so bigint holds
-    to ~1e12 nodes at the default scale.
+    Scale shape (reworked in the r6 optimization round — same recurrence,
+    same bit-exact output, cheaper plan):
+
+    * The per-node id set and outdeg are INVARIANT across iterations, so
+      they live in one static `(id, outdeg)` frame materialized once
+      (lazy localCheckpoint) instead of being re-derived per round.
+      Because each iteration then references the previous score vector
+      exactly ONCE (the old formulation read it twice — contribution
+      join + id-set projection — which is why it needed a per-round
+      localCheckpoint to stop 2^n plan blowup), the whole n_iters
+      recurrence is a single linear-lineage query: no per-round
+      materialization barriers, and Spark's ReuseExchange serves the
+      static edge/id sides to every iteration from one shuffle.
+    * The damping contribution floor((85*score)/(100*outdeg)) is
+      computed once per SOURCE NODE, not once per edge (it is constant
+      across a node's out-edges), so the per-iteration edge join
+      carries one narrow (subj, c) pair per node and the only
+      per-iteration full shuffle is the map-side-combinable sum by obj.
+    * Overflow: total mass <= n_nodes * scale, so bigint holds to
+      ~1e12 nodes at the default scale.
     """
-    pairs = edges.select("subj", "obj").distinct()
+    pairs = edges.select("subj", "obj").distinct().localCheckpoint(eager=False)
     outdeg = pairs.groupBy("subj").agg(F.count("*").alias("outdeg"))
-    contrib_edges = pairs.join(outdeg, "subj").localCheckpoint(eager=False)
+    # static (id, outdeg) frame: outdeg is null for sink nodes
+    ids = (
+        nodes.select("id")
+        .join(outdeg.select(F.col("subj").alias("id"), "outdeg"), "id", "left")
+        .localCheckpoint(eager=False)
+    )
 
     base = (scale * (_DAMP_DEN - _DAMP_NUM)) // _DAMP_DEN
-    scores = nodes.select("id", F.lit(scale).cast("bigint").alias("score"))
+    scores = ids.select(
+        "id", "outdeg", F.lit(scale).cast("bigint").alias("score")
+    )
     for _ in range(n_iters):
+        # per-node contribution (only source nodes emit mass); the
+        # filter is an optimization — non-source rows would drop in the
+        # inner join against the edge list anyway
+        c = scores.filter(F.col("outdeg").isNotNull()).select(
+            F.col("id").alias("subj"),
+            F.expr(f"({_DAMP_NUM} * score) DIV ({_DAMP_DEN} * outdeg)").alias(
+                "c"
+            ),
+        )
         contrib = (
-            contrib_edges.join(scores, contrib_edges.subj == scores.id)
-            .select(
-                F.col("obj").alias("id"),
-                F.expr(
-                    f"({_DAMP_NUM} * score) DIV ({_DAMP_DEN} * outdeg)"
-                ).alias("c"),
-            )
-            .groupBy("id")
+            pairs.join(c, "subj")
+            .groupBy("obj")
             .agg(F.sum("c").alias("contrib"))
         )
-        scores = (
-            scores.select("id")
-            .join(contrib, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
-                .cast("bigint")
-                .alias("score"),
-            )
-            .localCheckpoint(eager=False)
+        scores = ids.join(
+            contrib.select(F.col("obj").alias("id"), "contrib"), "id", "left"
+        ).select(
+            "id",
+            "outdeg",
+            (F.lit(base) + F.coalesce(F.col("contrib"), F.lit(0)))
+            .cast("bigint")
+            .alias("score"),
         )
-    return scores
+    return scores.select("id", "score")
 
 
 def pagerank_oracle_ctes(

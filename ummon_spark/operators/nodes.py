@@ -116,10 +116,13 @@ def _dedupe_last_wins(df: DataFrame) -> DataFrame:
     separate pair of order columns. Ties are impossible: (doc_id,
     offset) is unique per candidate row."""
     payload = [c for c in df.columns if c != "id"]
-    ord_key = F.struct(F.col("doc_id"), F.col("offset"))
-    agg = df.groupBy("id").agg(
-        F.max_by(F.struct(*payload), ord_key).alias("_win")
-    )
+    # r6 optimization (guide §2.3): the order key (doc_id, offset) is a
+    # prefix-able subset of the payload and unique per candidate row, so
+    # max() over ONE struct led by the key picks the identical winner
+    # max_by(payload, key) did without shuffling the key columns twice.
+    lead = ["doc_id", "offset"]
+    rest = [c for c in payload if c not in lead]
+    agg = df.groupBy("id").agg(F.max(F.struct(*lead, *rest)).alias("_win"))
     return agg.select("id", *[F.col(f"_win.{c}").alias(c) for c in payload])
 
 

@@ -151,9 +151,10 @@ def materialize_bucketed(
     spark = g.nodes.sparkSession
     n = n_buckets or max(spark.sparkContext.defaultParallelism, 8)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    for name, df, key in (("nodes", g.nodes, "id"), ("edges", g.edges, "subj")):
+
+    def write_one(args):
+        name, df, key = args
         full = f"{database}.{name}"
-        spark.sql(f"DROP TABLE IF EXISTS {full}")
         (
             df.write.format("parquet")
             .mode("overwrite")
@@ -162,3 +163,15 @@ def materialize_bucketed(
             .sortBy(key)
             .saveAsTable(full)
         )
+
+    targets = (("nodes", g.nodes, "id"), ("edges", g.edges, "subj"))
+    for name, _, _ in targets:
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+    # the two table writes are independent Spark jobs — run them from
+    # two driver threads so the second back-fills the first's task tail
+    # (guide §2.6; same shape as materialize above)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        for f in [pool.submit(write_one, t) for t in targets]:
+            f.result()

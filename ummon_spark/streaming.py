@@ -225,8 +225,14 @@ def run_hll_ingest(
             )
         new_path = os.path.join(state_dir, f"v{batch_id}")
         regs.coalesce(1).write.mode("overwrite").parquet(new_path)
-        with open(os.path.join(output_dir, "_current"), "w") as f:
+        # atomic repoint: write-then-rename, so a concurrent
+        # read_hll_registers never observes an empty/partial marker
+        # (a plain truncate-and-write has that window; ADVICE r5)
+        marker = os.path.join(output_dir, "_current")
+        tmp = marker + f".tmp.{batch_id}"
+        with open(tmp, "w") as f:
             f.write(f"v{batch_id}")
+        os.replace(tmp, marker)
 
     os.makedirs(output_dir, exist_ok=True)
     q = (
