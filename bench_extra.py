@@ -78,27 +78,34 @@ def main() -> None:
     spark = get_spark("ummon_bench_extra")
     cores = spark.sparkContext.defaultParallelism
 
-    docs = load_documents(spark, SF_DIR).repartition(cores * 4)
-    spans = spanify(docs)
-    if REPLICATE > 1:
-        reps = spark.range(REPLICATE).select(
-            F.col("id").cast("string").alias("_rep")
-        )
-        spans = spans.crossJoin(F.broadcast(reps)).select(
-            F.concat("doc_id", F.lit("#"), "_rep").alias("doc_id"), "spans"
-        )
-    spans.count()
-
+    keep_dir = opt("--keep-dir")
     ram = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    out_dir = tempfile.mkdtemp(prefix="ummon_bx_", dir=ram)
+    reuse = bool(keep_dir) and os.path.isdir(f"{keep_dir}/nodes")
+    out_dir = keep_dir or tempfile.mkdtemp(prefix="ummon_bx_", dir=ram)
+
+    if not reuse:
+        docs = load_documents(spark, SF_DIR).repartition(cores * 4)
+        spans = spanify(docs)
+        if REPLICATE > 1:
+            reps = spark.range(REPLICATE).select(
+                F.col("id").cast("string").alias("_rep")
+            )
+            spans = spans.crossJoin(F.broadcast(reps)).select(
+                F.concat("doc_id", F.lit("#"), "_rep").alias("doc_id"), "spans"
+            )
+        spans.count()
     timings: dict[str, list[float]] = {}
+    g = None
     try:
         sc = spark.sparkContext
-        sc.setJobDescription("build: graph + materialize")
-        t0 = time.perf_counter()
-        g = build_graph(spans, persist=True)
-        materialize(g, out_dir)
-        timings["pipeline_build_and_write"] = [round(time.perf_counter() - t0, 3)]
+        if not reuse:
+            sc.setJobDescription("build: graph + materialize")
+            t0 = time.perf_counter()
+            g = build_graph(spans, persist=True)
+            materialize(g, out_dir)
+            timings["pipeline_build_and_write"] = [
+                round(time.perf_counter() - t0, 3)
+            ]
 
         nodes = spark.read.parquet(f"{out_dir}/nodes")
         edges = spark.read.parquet(f"{out_dir}/edges")
@@ -116,11 +123,12 @@ def main() -> None:
         for name, fn in queries.items():
             if only and name not in only:
                 continue
-            if plans_tag:
-                with open(
-                    f"{REPO}/plans/{plans_tag}/{name}_{suffix}.txt", "w"
-                ) as f:
-                    f.write(explain_str(fn()))
+            # time FIRST (cold), capture the plan after: constructing
+            # some queries (BFS) executes jobs whose persisted levels
+            # the CacheManager then serves to every identical later
+            # plan — a pre-timing fn() call would warm the timed run.
+            # Sample 1 is the cold (bench.py-comparable) number; later
+            # repeats measure the warm path.
             for _ in range(repeat):
                 sc.setJobDescription(name)
                 t0 = time.perf_counter()
@@ -130,8 +138,20 @@ def main() -> None:
                 timings.setdefault(name, []).append(
                     round(time.perf_counter() - t0, 3)
                 )
+            if plans_tag:
+                with open(
+                    f"{REPO}/plans/{plans_tag}/{name}_{suffix}.txt", "w"
+                ) as f:
+                    f.write(explain_str(fn()))
 
-        if not only or "bucketed_write" in only or "q_transitive_depends_bucketed" in only:
+        want_bucketed = (
+            not only
+            or "bucketed_write" in only
+            or "q_transitive_depends_bucketed" in only
+        )
+        if want_bucketed and g is None:
+            want_bucketed = False  # bucketed write needs the built graph
+        if want_bucketed:
             sc.setJobDescription("bucketed_write")
             t0 = time.perf_counter()
             materialize_bucketed(
@@ -154,7 +174,8 @@ def main() -> None:
                 timings.setdefault("q_transitive_depends_bucketed", []).append(
                     round(time.perf_counter() - t0, 3)
                 )
-        g.unpersist()
+        if g is not None:
+            g.unpersist()
         print(
             json.dumps(
                 {
@@ -167,7 +188,8 @@ def main() -> None:
             )
         )
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -83,7 +83,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # und feeds three plan branches (degree, orientation, closing-edge
     # probe) and deg two — lazy localCheckpoint materializes each ONCE
     # instead of re-running the distinct/agg per branch (plan audit
-    # showed 38 exchanges without it)
+    # showed 38 exchanges without it).
+    # r6 note: an int64-surrogate variant (translate ids once, run the
+    # wedge/closing joins on longs, translate back) was implemented and
+    # A/B-measured at x20 and x40 replication — neutral to slightly
+    # worse both times (the extra translated-edge materialization and
+    # the final join-back cost what the narrower shuffles saved), so
+    # the string-keyed formulation stays.
     und = undirected_simple(edges).localCheckpoint(eager=False)
     deg = _undirected_degree(und).localCheckpoint(eager=False)
 

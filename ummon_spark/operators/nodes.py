@@ -88,8 +88,15 @@ def doc_attachments(mentions: DataFrame) -> tuple[DataFrame, DataFrame]:
         ),
         ignorenulls=True,
     ).over(wfwd)
-    doc_rows = scoped.withColumn("_next_ent", next_ent).filter(
-        F.col("mention_type") == "Doc"
+    # materialized once (lazy): entity_docs AND module_docs read this
+    # frame, and without the checkpoint the window sort ran twice —
+    # subtree reuse only exists for exchanges, not window operators
+    # (r6; the frame is tiny: one row per Doc span)
+    doc_rows = (
+        scoped.withColumn("_next_ent", next_ent)
+        .filter(F.col("mention_type") == "Doc")
+        .select("doc_id", "span_idx", "detail", "_next_ent")
+        .localCheckpoint(eager=False)
     )
     entity_docs = (
         doc_rows.filter(F.col("_next_ent").isNotNull())
@@ -116,13 +123,10 @@ def _dedupe_last_wins(df: DataFrame) -> DataFrame:
     separate pair of order columns. Ties are impossible: (doc_id,
     offset) is unique per candidate row."""
     payload = [c for c in df.columns if c != "id"]
-    # r6 optimization (guide §2.3): the order key (doc_id, offset) is a
-    # prefix-able subset of the payload and unique per candidate row, so
-    # max() over ONE struct led by the key picks the identical winner
-    # max_by(payload, key) did without shuffling the key columns twice.
-    lead = ["doc_id", "offset"]
-    rest = [c for c in payload if c not in lead]
-    agg = df.groupBy("id").agg(F.max(F.struct(*lead, *rest)).alias("_win"))
+    ord_key = F.struct(F.col("doc_id"), F.col("offset"))
+    agg = df.groupBy("id").agg(
+        F.max_by(F.struct(*payload), ord_key).alias("_win")
+    )
     return agg.select("id", *[F.col(f"_win.{c}").alias(c) for c in payload])
 
 
@@ -287,10 +291,13 @@ def build_node_candidates(mentions: DataFrame, documents: DataFrame) -> DataFram
         .drop("_ddoc", "_ent_idx")
         .withColumn("_edoc", F.coalesce(F.col("_edoc"), F.lit("")))
     )
-    # one module node per document; order key (-1) sorts before any span
+    # one module node per document; order key (-1) sorts before any span.
+    # No distinct here (r6): the input is one row per document by
+    # contract, and even if a doc_id repeated, the id-keyed dedupe below
+    # collapses the (identical-payload) module candidates — the explicit
+    # distinct only added a full exchange of the document ids.
     modules = (
         documents.select("doc_id")
-        .distinct()
         .join(module_docs, "doc_id", "left")
         .select(
             F.col("doc_id").alias("id"),

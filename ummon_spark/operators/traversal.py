@@ -31,13 +31,12 @@ def transitive_closure(
     e = edges
     if preds:
         e = e.filter(F.col("pred").isin(*preds))
-    # r6 optimization (guide §2.4 — remove shuffles outright): the edge
-    # relation is joined on `subj` every BFS round, so hash-partition it
-    # by subj ONCE and persist — every later frontier join reads the
-    # cached co-partitioned side instead of re-scanning + re-exchanging
-    # the edge table per round. (The bucketed layout makes even this one
-    # exchange unnecessary; this is the path-layout equivalent.)
-    e = e.select("subj", "obj").repartition(F.col("subj")).persist()
+    # deliberately NOT pre-shuffled or cached (r6 measurement): after
+    # round 1 the frontier is small enough to BROADCAST, so the edge
+    # side is only scanned (partition-pruned by pred), never exchanged —
+    # a repartition(subj)+persist of e was measured strictly worse (one
+    # full shuffle + cache write to save exchanges that don't happen).
+    e = e.select("subj", "obj")
 
     frontier = (
         roots.select(F.col("id").alias("root"))

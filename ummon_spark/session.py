@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -56,6 +59,21 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # r6 (guide §3.1/§9): allow shuffled hash join where the
+        # per-partition build side fits — SMJ's sorts are pure overhead
+        # for the engine's hash-equi joins; AQE's localMap threshold
+        # additionally converts planned SMJs whose runtime partitions
+        # are small. Both are size-guarded so the same plan degrades to
+        # SMJ gracefully at 100 TB partition sizes; env-overridable for
+        # cluster tuning.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
+        )
     )
     # NOTE: shuffle spill stays on disk (default spark.local.dir) —
     # measured: pointing it at tmpfs competes with the JVM heap for the
