@@ -62,8 +62,10 @@ def test_edge_dedupe_single_shuffle(spark):
     # exactly one shuffle for the dedupe, keyed by id
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(id" in plan
-    # partial (map-side) min_by before the exchange, final after
-    assert plan.count("partial_min_by") >= 1
+    # partial (map-side) min before the exchange, final after (r6: the
+    # aggregate is min() over the single ordered struct — same winner
+    # as min_by(payload, ord) with the payload/key duplication removed)
+    assert plan.count("partial_min") >= 1
     # no union of re-computed branches
     assert "Union" not in plan
 

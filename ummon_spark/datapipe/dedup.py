@@ -330,7 +330,11 @@ def line_dedup(documents: DataFrame) -> DataFrame:
 
     Determinism is cross-engine: the occurrence order key is the
     sortable string doc_id||'#'||lpad(line_idx, 6, '0') so Spark's
-    min() and DuckDB's MIN() pick the identical winner.
+    min() and DuckDB's MIN() pick the identical winner. DOCUMENTED
+    BOUND: the 6-digit pad means first-occurrence order is only correct
+    for documents up to 999,999 lines; widening it is an oracle-SQL
+    change (both sides must move together — the oracle text was frozen
+    for the r6 optimization round, so the bound is pinned here instead).
 
     100 TB shape: one explode by line (data ~ corpus lines), ONE
     groupBy on md5(line) for the winner (min-agg, map-side partials

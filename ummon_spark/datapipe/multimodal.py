@@ -490,7 +490,13 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             yield _decode_fake(pdf) if fake else _decode_real(pdf)
 
-    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+    # r6 (guide §4.1): ship ONLY the columns the kernel reads across the
+    # Python boundary — Spark cannot see into the function, so without
+    # the select the whole row (including the meta map) crosses Arrow
+    # both ways and column pruning at the scan is defeated.
+    return media.select("media_ref", "kind", "payload").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -46,36 +46,33 @@ def transitive_closure(
         .withColumn("depth", F.lit(1).cast("long"))
         .persist()
     )
-    # each BFS level persists; no level is recomputed and lineage stays
-    # one level deep. The visited check is a CHAIN of left_anti joins
-    # against the cached levels rather than one join against their
-    # union (r6, guide §2.4): the union has no partitioning, so the old
-    # shape reshuffled the ENTIRE closure-so-far every round — the
-    # chain joins each cached level in place, and because every level
-    # is partitioned by dst (the join output partitioning the levels
-    # inherit), the next round's frontier⋈edges needs no new exchange
-    # either: dst is the next join key.
+    # each BFS level persists; the visited set is the union of cached
+    # levels, so no level is recomputed and lineage stays one level
+    # deep (persist is cheaper than eager localCheckpoint here — levels
+    # are reused immediately and discarded at the end of the query).
+    # r6 note: a chain of per-level left_anti joins (to reuse each
+    # cached level's partitioning instead of reshuffling the union) was
+    # A/B-measured: parity on the path layout, ~1 s SLOWER on the
+    # bucketed layout (extra per-piece sort/exchange planning beat the
+    # saved union shuffle at this graph's depth of 3) — reverted.
     pieces = [frontier]
     depth = 1
     while depth < max_depth:
+        visited = pieces[0].select("root", "dst")
+        for p in pieces[1:]:
+            visited = visited.unionByName(p.select("root", "dst"))
         nxt = (
             frontier.join(e, frontier.dst == e.subj)
             .select("root", F.col("obj").alias("dst"))
             .distinct()
             .withColumn("depth", F.lit(depth + 1).cast("long"))
         )
-        new = nxt
-        for p in pieces:
-            new = new.join(p.select("root", "dst"), ["root", "dst"], "left_anti")
-        new = new.persist()
+        new = nxt.join(visited, ["root", "dst"], "left_anti").persist()
         if new.isEmpty():
             break
         pieces.append(new)
         frontier = new
         depth += 1
-    # e stays cached like the level frames: the caller's action still
-    # reads it through the (lazily materialized) level lineage; all of
-    # them are released together when the session drops the references.
     reach = pieces[0]
     for p in pieces[1:]:
         reach = reach.unionByName(p)

@@ -74,6 +74,22 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
         )
+        # r6 (guide §7.2 — duplicated subtrees): InferFiltersFromGenerate
+        # adds `size(arr) > 0` under every explode; when the array is an
+        # aliased expression (spanify's transform(), split() in the line
+        # operators) predicate pushdown substitutes the WHOLE expression
+        # into the filter and the scan, evaluating it twice per row. The
+        # filter is semantically redundant — empty/null arrays produce no
+        # Generate output anyway — so the rule is excluded: the parse
+        # stage alone measured 3.3 s -> 0.75 s warm at sf0.1 x20.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
     )
     # NOTE: shuffle spill stays on disk (default spark.local.dir) —
     # measured: pointing it at tmpfs competes with the JVM heap for the
